@@ -1,0 +1,536 @@
+"""EchoDiT and its text/speaker/latent encoders — TPU-native JAX.
+
+This re-implements the semantics of the reference PyTorch model
+(reference: model.py:472-642) as pure functions over a parameter pytree:
+
+  * Transformer blocks are STACKED along a leading layer axis and executed
+    with `jax.lax.scan`, so the 24-layer DiT traces/compiles once per layer
+    shape instead of 24 times.
+  * KV "caches" are plain arrays (L, B, S, H, Dh) computed once per request
+    by the prefill functions and closed over by the sampler; nothing is
+    mutated (the reference's in-place speaker-KV scaling, inference.py:408-414,
+    becomes a per-layer multiplicative factor applied inside attention).
+  * CFG sharing: the sampler runs guidance branches as a leading multiple of
+    the batch (q-batch = G*B) while the KV stays at batch B and is broadcast
+    inside attention — the reference materializes concat(cond,cond,cond)
+    (inference.py:471-472); we avoid the 3x KV memory and bandwidth.
+
+Parameter layout (all linears stored as (in, out) kernels; converted from
+torch's (out, in) by tools/convert.py):
+
+  params = {
+    'text_encoder': {'embedding': (V, Dt), 'blocks': ENC_BLOCKS(Lt, Dt)},
+    'speaker_encoder': {'in_proj': {'kernel','bias'}, 'blocks': ENC_BLOCKS},
+    'latent_encoder': ... (present iff cfg.blockwise),
+    'text_norm','speaker_norm'[,'latent_norm']: (Dt,),
+    'cond': {'w0': (Te, M), 'w1': (M, M), 'w2': (M, 3M)},
+    'in_proj': {'kernel': (80, M), 'bias': (M,)},
+    'blocks': {   # stacked (L, ...)
+      'attn': {'wq','wk','wv','wo','gate': (L, M, M),
+               'wk_text','wv_text','wk_speaker','wv_speaker'
+               [,'wk_latent','wv_latent']: (L, Dt, M),
+               'q_norm','k_norm': (L, H, Dh)},
+      'mlp': {'w1','w3': (L, M, F), 'w2': (L, F, M)},
+      'attn_adaln','mlp_adaln': {'shift_down','scale_down','gate_down': (L, M, R),
+               'shift_up','scale_up','gate_up': {'kernel': (L, R, M), 'bias': (L, M)}},
+    },
+    'out_norm': (M,), 'out_proj': {'kernel': (M, 80), 'bias': (80,)},
+  }
+
+  ENC_BLOCKS = {'attn': {'wq','wk','wv','wo','gate': (L, D, D),
+                         'q_norm','k_norm': (L, H, Dh)},
+                'mlp': {'w1','w3': (L, D, F), 'w2': (L, F, D)},
+                'attn_norm','mlp_norm': (L, D)}
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EchoDiTConfig
+from ..ops.attention import sdpa
+from ..ops.embeddings import get_timestep_embedding
+from ..ops.norms import low_rank_adaln, rms_norm
+from ..ops.rope import (
+    apply_rotary_emb,
+    apply_rotary_emb_half_heads,
+    precompute_freqs_cis,
+)
+
+KV = Tuple[jnp.ndarray, jnp.ndarray]  # (L, B, S, H, Dh) each
+
+
+@functools.lru_cache(maxsize=64)
+def _freqs_np(head_dim: int, end: int) -> np.ndarray:
+    return precompute_freqs_cis(head_dim, end)
+
+
+def _freqs(head_dim: int, end: int) -> jnp.ndarray:
+    return jnp.asarray(_freqs_np(head_dim, end))
+
+
+# ---------------------------------------------------------------------------
+# Shared blocks
+# ---------------------------------------------------------------------------
+
+def _mlp(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU MLP (reference: model.py:296-308)."""
+    return (jax.nn.silu(x @ p["w1"]) * (x @ p["w3"])) @ p["w2"]
+
+
+def _self_attention(
+    p: dict,
+    x: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    freqs: jnp.ndarray,
+    *,
+    num_heads: int,
+    is_causal: bool,
+    eps: float,
+) -> jnp.ndarray:
+    """Encoder self-attention with sigmoid output gate
+    (reference: model.py:106-161)."""
+    b, s, d = x.shape
+    q = (x @ p["wq"]).reshape(b, s, num_heads, -1)
+    k = (x @ p["wk"]).reshape(b, s, num_heads, -1)
+    v = (x @ p["wv"]).reshape(b, s, num_heads, -1)
+    gate = x @ p["gate"]
+
+    q = rms_norm(q, p["q_norm"], eps)
+    k = rms_norm(k, p["k_norm"], eps)
+
+    q = apply_rotary_emb(q, freqs[:s])
+    k = apply_rotary_emb(k, freqs[:s])
+
+    attn_mask = mask[:, None, None, :] if mask is not None else None
+    out = sdpa(q, k, v, mask=attn_mask, is_causal=is_causal)
+    out = out.reshape(b, s, d)
+    out = out * jax.nn.sigmoid(gate)
+    return out @ p["wo"]
+
+
+def _encoder_blocks(
+    blocks: dict,
+    x: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    freqs: jnp.ndarray,
+    *,
+    num_heads: int,
+    is_causal: bool,
+    eps: float,
+) -> jnp.ndarray:
+    """Pre-RMSNorm residual blocks, scanned over the stacked layer axis
+    (reference: model.py:311-339)."""
+
+    def body(h, p):
+        h = h + _self_attention(
+            p["attn"], rms_norm(h, p["attn_norm"], eps), mask, freqs,
+            num_heads=num_heads, is_causal=is_causal, eps=eps,
+        )
+        h = h + _mlp(p["mlp"], rms_norm(h, p["mlp_norm"], eps))
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, blocks)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Encoders
+# ---------------------------------------------------------------------------
+
+def text_encoder(params: dict, cfg: EchoDiTConfig, input_ids: jnp.ndarray,
+                 mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Byte-level text encoder, 14 non-causal blocks
+    (reference: model.py:392-427)."""
+    p = params["text_encoder"]
+    x = p["embedding"][input_ids]
+    freqs = _freqs(cfg.text_head_dim, input_ids.shape[1])
+    return _encoder_blocks(
+        p["blocks"], x, mask, freqs,
+        num_heads=cfg.text_num_heads, is_causal=False, eps=cfg.norm_eps,
+    )
+
+
+def _patch_encoder(p: dict, cfg: EchoDiTConfig, latent: jnp.ndarray) -> jnp.ndarray:
+    """SpeakerEncoder-style patchify + causal blocks
+    (reference: model.py:429-469).  Used for both the speaker and the
+    blockwise latent encoder (model.py:519-527)."""
+    b, s, d = latent.shape
+    ps = cfg.speaker_patch_size
+    if s % ps != 0:
+        raise ValueError(
+            f"latent length {s} must be divisible by speaker_patch_size {ps}; "
+            "crop with get_speaker_latent_and_mask (divis_by_patch_size)")
+    x = latent.reshape(b, s // ps, d * ps)
+    x = x @ p["in_proj"]["kernel"] + p["in_proj"]["bias"]
+    x = x / 6.0  # activation-dynamics scale (reference: model.py:462)
+    freqs = _freqs(cfg.speaker_head_dim, x.shape[1])
+    return _encoder_blocks(
+        p["blocks"], x, None, freqs,
+        num_heads=cfg.speaker_num_heads, is_causal=True, eps=cfg.norm_eps,
+    )
+
+
+# ---------------------------------------------------------------------------
+# KV prefill (one-time per request; reference: model.py:606-636)
+# ---------------------------------------------------------------------------
+
+def _stacked_kv(state: jnp.ndarray, wk: jnp.ndarray, wv: jnp.ndarray,
+                k_norm: jnp.ndarray, eps: float, num_heads: int) -> KV:
+    """Project encoder state through per-layer KV weights for all layers at
+    once.  k gets the (shared-weights) k_norm, as in model.py:270-282."""
+    b, s, _ = state.shape
+    l = wk.shape[0]
+    k = jnp.einsum("bsd,ldm->lbsm", state, wk).reshape(l, b, s, num_heads, -1)
+    v = jnp.einsum("bsd,ldm->lbsm", state, wv).reshape(l, b, s, num_heads, -1)
+    k = rms_norm(k, k_norm[:, None, None], eps)
+    return k, v
+
+
+def get_kv_cache_text(params: dict, cfg: EchoDiTConfig,
+                      text_input_ids: jnp.ndarray,
+                      text_mask: Optional[jnp.ndarray]) -> KV:
+    state = text_encoder(params, cfg, text_input_ids, text_mask)
+    state = rms_norm(state, params["text_norm"], cfg.norm_eps)
+    blk = params["blocks"]["attn"]
+    return _stacked_kv(state, blk["wk_text"], blk["wv_text"],
+                       blk["k_norm"], cfg.norm_eps, cfg.num_heads)
+
+
+def get_kv_cache_speaker(params: dict, cfg: EchoDiTConfig,
+                         speaker_latent: jnp.ndarray) -> KV:
+    state = _patch_encoder(params["speaker_encoder"], cfg, speaker_latent)
+    state = rms_norm(state, params["speaker_norm"], cfg.norm_eps)
+    blk = params["blocks"]["attn"]
+    return _stacked_kv(state, blk["wk_speaker"], blk["wv_speaker"],
+                       blk["k_norm"], cfg.norm_eps, cfg.num_heads)
+
+
+def get_kv_cache_latent(params: dict, cfg: EchoDiTConfig,
+                        prefix_latent: jnp.ndarray) -> KV:
+    """Blockwise latent-prefix KV: encoder output positions sit at
+    idx * patch_size in RoPE space (reference: model.py:623-636), and RoPE is
+    applied to k on HALF the heads (model.py:284-293)."""
+    state = _patch_encoder(params["latent_encoder"], cfg, prefix_latent)
+    state = rms_norm(state, params["latent_norm"], cfg.norm_eps)
+    blk = params["blocks"]["attn"]
+    k, v = _stacked_kv(state, blk["wk_latent"], blk["wv_latent"],
+                       blk["k_norm"], cfg.norm_eps, cfg.num_heads)
+    s = state.shape[1]
+    table = _freqs_np(cfg.head_dim, s * cfg.speaker_patch_size)
+    freqs_latent = jnp.asarray(
+        table[np.arange(s) * cfg.speaker_patch_size])
+    k = jax.vmap(lambda kl: apply_rotary_emb_half_heads(kl, freqs_latent))(k)
+    return k, v
+
+
+def latent_prefix_mask(batch_size: int, num_latents: int, start_pos: int,
+                       patch_size: int) -> np.ndarray:
+    """position * patch_size < start_pos (reference: model.py:243-244).
+    Static (numpy) — start_pos is a Python int per block."""
+    positions = np.arange(num_latents) * patch_size
+    return np.broadcast_to(positions < start_pos, (batch_size, num_latents))
+
+
+# ---------------------------------------------------------------------------
+# Joint attention + DiT forward
+# ---------------------------------------------------------------------------
+
+def _joint_attention(
+    p: dict,
+    x: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    speaker_mask: jnp.ndarray,
+    latent_mask: Optional[jnp.ndarray],
+    freqs_q: jnp.ndarray,
+    kv_text: Tuple[jnp.ndarray, jnp.ndarray],
+    kv_speaker: Tuple[jnp.ndarray, jnp.ndarray],
+    kv_latent: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    speaker_scale: jnp.ndarray,
+    *,
+    num_heads: int,
+    eps: float,
+) -> jnp.ndarray:
+    """DiT joint attention over [self, latent-prefix, text, speaker] segments
+    (reference: model.py:204-268).
+
+    Q-batch is G*B while KV batch is B (G = CFG guidance branches); KV is
+    broadcast across G inside the einsums.  `speaker_scale` is a scalar
+    multiplying the speaker K and V — applied as a logit scale pre-softmax
+    and a weight scale post-softmax, which is mathematically identical to
+    scaling the cached K and V (inference.py:408-414) without rewriting the
+    cache.
+    """
+    gb, s, d = x.shape
+    k_text, v_text = kv_text
+    k_spk, v_spk = kv_speaker
+    b = k_text.shape[0]
+    g = gb // b
+    dh = d // num_heads
+    scale = 1.0 / (dh ** 0.5)
+
+    q = (x @ p["wq"]).reshape(gb, s, num_heads, dh)
+    k_self = (x @ p["wk"]).reshape(gb, s, num_heads, dh)
+    v_self = (x @ p["wv"]).reshape(gb, s, num_heads, dh)
+    gate = x @ p["gate"]
+
+    q = rms_norm(q, p["q_norm"], eps)
+    k_self = rms_norm(k_self, p["k_norm"], eps)
+
+    q = apply_rotary_emb_half_heads(q, freqs_q)
+    k_self = apply_rotary_emb_half_heads(k_self, freqs_q)
+
+    qg = q.reshape(g, b, s, num_heads, dh)
+
+    # Per-segment logits; fp32 accumulation on the MXU.
+    def seg_logits(k):  # k: (B, T, H, Dh) -> (G, B, H, S, T)
+        return jnp.einsum("gbshd,bthd->gbhst", qg, k,
+                          preferred_element_type=jnp.float32) * scale
+
+    logits_self = jnp.einsum(
+        "gbshd,gbthd->gbhst", qg, k_self.reshape(g, b, s, num_heads, dh),
+        preferred_element_type=jnp.float32) * scale
+    logits_text = seg_logits(k_text)
+    logits_spk = seg_logits(k_spk) * speaker_scale
+
+    neg_inf = float("-inf")
+    logits_text = jnp.where(
+        text_mask.reshape(g, b, 1, 1, -1), logits_text, neg_inf)
+    logits_spk = jnp.where(
+        speaker_mask.reshape(g, b, 1, 1, -1), logits_spk, neg_inf)
+
+    parts = [logits_self]
+    if kv_latent is not None:
+        k_lat, v_lat = kv_latent
+        logits_lat = seg_logits(k_lat)
+        logits_lat = jnp.where(
+            latent_mask.reshape(g, b, 1, 1, -1), logits_lat, neg_inf)
+        parts.append(logits_lat)
+    parts += [logits_text, logits_spk]
+
+    sizes = [pt.shape[-1] for pt in parts]
+    logits = jnp.concatenate(parts, axis=-1)
+    weights = jax.nn.softmax(logits, axis=-1)
+
+    # Split weights back per segment; scale the speaker weights (the V side
+    # of the speaker-KV scale), then accumulate PV per segment.
+    offs = np.cumsum([0] + sizes)
+    w_self = weights[..., offs[0]:offs[1]].astype(v_self.dtype)
+    out = jnp.einsum("gbhst,gbthd->gbshd", w_self,
+                     v_self.reshape(g, b, s, num_heads, dh))
+    idx = 1
+    if kv_latent is not None:
+        w_lat = weights[..., offs[idx]:offs[idx + 1]].astype(v_lat.dtype)
+        out = out + jnp.einsum("gbhst,bthd->gbshd", w_lat, v_lat)
+        idx += 1
+    w_text = weights[..., offs[idx]:offs[idx + 1]].astype(v_text.dtype)
+    out = out + jnp.einsum("gbhst,bthd->gbshd", w_text, v_text)
+    idx += 1
+    w_spk = (weights[..., offs[idx]:offs[idx + 1]]
+             * speaker_scale).astype(v_spk.dtype)
+    out = out + jnp.einsum("gbhst,bthd->gbshd", w_spk, v_spk)
+
+    out = out.reshape(gb, s, d)
+    out = out * jax.nn.sigmoid(gate)
+    return out @ p["wo"]
+
+
+def dit_forward(
+    params: dict,
+    cfg: EchoDiTConfig,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    speaker_mask: jnp.ndarray,
+    kv_text: KV,
+    kv_speaker: KV,
+    *,
+    start_pos: int = 0,
+    kv_latent: Optional[KV] = None,
+    latent_mask: Optional[jnp.ndarray] = None,
+    speaker_scale_by_layer: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """One denoiser forward (reference: model.py:563-604).
+
+    x: (G*B, S, latent) in model dtype; t: (G*B,).
+    text_mask/speaker_mask: (G*B, S_seg) bool.  kv_*: (L, B, ...).
+    speaker_scale_by_layer: (L,) multiplicative speaker-KV scale (functional
+    replacement for the reference's in-place cache scaling).
+    Returns float32 (model.py:604).
+    """
+    s = x.shape[1]
+    freqs_q = _freqs(cfg.head_dim, start_pos + s)[start_pos:]
+
+    # speaker mask is subsampled by patch_size (model.py:581)
+    spk_mask = speaker_mask[..., :: cfg.speaker_patch_size]
+
+    cond = get_timestep_embedding(t, cfg.timestep_embed_size)
+    c = params["cond"]
+    cond = jax.nn.silu(cond @ c["w0"])
+    cond = jax.nn.silu(cond @ c["w1"])
+    cond = (cond @ c["w2"])[:, None]  # (G*B, 1, 3M)
+
+    h = x @ params["in_proj"]["kernel"] + params["in_proj"]["bias"]
+
+    if speaker_scale_by_layer is None:
+        speaker_scale_by_layer = jnp.ones(
+            (cfg.num_layers,), dtype=jnp.float32)
+
+    blocks = params["blocks"]
+    have_latent = kv_latent is not None
+    xs = dict(
+        p=blocks,
+        k_text=kv_text[0], v_text=kv_text[1],
+        k_spk=kv_speaker[0], v_spk=kv_speaker[1],
+        spk_scale=speaker_scale_by_layer,
+    )
+    if have_latent:
+        xs.update(k_lat=kv_latent[0], v_lat=kv_latent[1])
+
+    def body(h, xs_i):
+        p = xs_i["p"]
+        kv_lat = (xs_i["k_lat"], xs_i["v_lat"]) if have_latent else None
+        h_norm, gate = low_rank_adaln(h, cond, p["attn_adaln"], cfg.norm_eps)
+        h = h + gate * _joint_attention(
+            p["attn"], h_norm, text_mask, spk_mask, latent_mask, freqs_q,
+            (xs_i["k_text"], xs_i["v_text"]), (xs_i["k_spk"], xs_i["v_spk"]),
+            kv_lat, xs_i["spk_scale"],
+            num_heads=cfg.num_heads, eps=cfg.norm_eps,
+        )
+        h_norm, gate = low_rank_adaln(h, cond, p["mlp_adaln"], cfg.norm_eps)
+        h = h + gate * _mlp(p["mlp"], h_norm)
+        return h, None
+
+    h, _ = jax.lax.scan(body, h, xs)
+
+    h = rms_norm(h, params["out_norm"], cfg.norm_eps)
+    h = h @ params["out_proj"]["kernel"] + params["out_proj"]["bias"]
+    return h.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (random weights for benchmarks/tests; real weights come from
+# tools/convert.py)
+# ---------------------------------------------------------------------------
+
+def _linear(key, fan_in, fan_out, dtype):
+    return (jax.random.normal(key, (fan_in, fan_out), jnp.float32)
+            * (fan_in ** -0.5)).astype(dtype)
+
+
+def _init_enc_blocks(key, n, d, heads, inter, dtype):
+    ks = jax.random.split(key, 8)
+    dh = d // heads
+    return {
+        "attn": {
+            "wq": _linear(ks[0], d, d * n, dtype).reshape(n, d, d),
+            "wk": _linear(ks[1], d, d * n, dtype).reshape(n, d, d),
+            "wv": _linear(ks[2], d, d * n, dtype).reshape(n, d, d),
+            "wo": _linear(ks[3], d, d * n, dtype).reshape(n, d, d),
+            "gate": _linear(ks[4], d, d * n, dtype).reshape(n, d, d),
+            "q_norm": jnp.ones((n, heads, dh), dtype),
+            "k_norm": jnp.ones((n, heads, dh), dtype),
+        },
+        "mlp": {
+            "w1": _linear(ks[5], d, inter * n, dtype).reshape(n, d, inter),
+            "w3": _linear(ks[6], d, inter * n, dtype).reshape(n, d, inter),
+            "w2": _linear(ks[7], inter, d * n, dtype).reshape(n, inter, d),
+        },
+        "attn_norm": jnp.ones((n, d), dtype),
+        "mlp_norm": jnp.ones((n, d), dtype),
+    }
+
+
+def init_dit_params(key: jax.Array, cfg: EchoDiTConfig,
+                    dtype=jnp.bfloat16) -> dict:
+    keys = jax.random.split(key, 24)
+    m, dt, ds = cfg.model_size, cfg.text_model_size, cfg.speaker_model_size
+    n, r, f = cfg.num_layers, cfg.adaln_rank, cfg.intermediate_size
+    dh = cfg.head_dim
+
+    def adaln(key):
+        ks = jax.random.split(key, 6)
+        return {
+            "shift_down": _linear(ks[0], m, r * n, dtype).reshape(n, m, r),
+            "scale_down": _linear(ks[1], m, r * n, dtype).reshape(n, m, r),
+            "gate_down": _linear(ks[2], m, r * n, dtype).reshape(n, m, r),
+            "shift_up": {"kernel": _linear(ks[3], r, m * n, dtype).reshape(n, r, m),
+                         "bias": jnp.zeros((n, m), dtype)},
+            "scale_up": {"kernel": _linear(ks[4], r, m * n, dtype).reshape(n, r, m),
+                         "bias": jnp.zeros((n, m), dtype)},
+            "gate_up": {"kernel": _linear(ks[5], r, m * n, dtype).reshape(n, r, m),
+                        "bias": jnp.zeros((n, m), dtype)},
+        }
+
+    def enc(key, with_in_proj):
+        ks = jax.random.split(key, 2)
+        out = {"blocks": _init_enc_blocks(
+            ks[0], cfg.speaker_num_layers, ds, cfg.speaker_num_heads,
+            cfg.speaker_intermediate_size, dtype)}
+        if with_in_proj:
+            out["in_proj"] = {
+                "kernel": _linear(ks[1], cfg.latent_size * cfg.speaker_patch_size,
+                                  ds, dtype),
+                "bias": jnp.zeros((ds,), dtype)}
+        return out
+
+    blk_keys = jax.random.split(keys[0], 16)
+    blocks = {
+        "attn": {
+            "wq": _linear(blk_keys[0], m, m * n, dtype).reshape(n, m, m),
+            "wk": _linear(blk_keys[1], m, m * n, dtype).reshape(n, m, m),
+            "wv": _linear(blk_keys[2], m, m * n, dtype).reshape(n, m, m),
+            "wo": _linear(blk_keys[3], m, m * n, dtype).reshape(n, m, m),
+            "gate": _linear(blk_keys[4], m, m * n, dtype).reshape(n, m, m),
+            "wk_text": _linear(blk_keys[5], dt, m * n, dtype).reshape(n, dt, m),
+            "wv_text": _linear(blk_keys[6], dt, m * n, dtype).reshape(n, dt, m),
+            "wk_speaker": _linear(blk_keys[7], ds, m * n, dtype).reshape(n, ds, m),
+            "wv_speaker": _linear(blk_keys[8], ds, m * n, dtype).reshape(n, ds, m),
+            "q_norm": jnp.ones((n, cfg.num_heads, dh), dtype),
+            "k_norm": jnp.ones((n, cfg.num_heads, dh), dtype),
+        },
+        "mlp": {
+            "w1": _linear(blk_keys[9], m, f * n, dtype).reshape(n, m, f),
+            "w3": _linear(blk_keys[10], m, f * n, dtype).reshape(n, m, f),
+            "w2": _linear(blk_keys[11], f, m * n, dtype).reshape(n, f, m),
+        },
+        "attn_adaln": adaln(blk_keys[12]),
+        "mlp_adaln": adaln(blk_keys[13]),
+    }
+    if cfg.blockwise:
+        blocks["attn"]["wk_latent"] = _linear(
+            blk_keys[14], ds, m * n, dtype).reshape(n, ds, m)
+        blocks["attn"]["wv_latent"] = _linear(
+            blk_keys[15], ds, m * n, dtype).reshape(n, ds, m)
+
+    params = {
+        "text_encoder": {
+            "embedding": (jax.random.normal(keys[1], (cfg.text_vocab_size, dt),
+                                            jnp.float32)).astype(dtype),
+            "blocks": _init_enc_blocks(
+                keys[2], cfg.text_num_layers, dt, cfg.text_num_heads,
+                cfg.text_intermediate_size, dtype),
+        },
+        "speaker_encoder": enc(keys[3], True),
+        "text_norm": jnp.ones((dt,), dtype),
+        "speaker_norm": jnp.ones((ds,), dtype),
+        "cond": {
+            "w0": _linear(keys[4], cfg.timestep_embed_size, m, dtype),
+            "w1": _linear(keys[5], m, m, dtype),
+            "w2": _linear(keys[6], m, 3 * m, dtype),
+        },
+        "in_proj": {"kernel": _linear(keys[7], cfg.latent_size, m, dtype),
+                    "bias": jnp.zeros((m,), dtype)},
+        "blocks": blocks,
+        "out_norm": jnp.ones((m,), dtype),
+        "out_proj": {"kernel": _linear(keys[8], m, cfg.latent_size, dtype),
+                     "bias": jnp.zeros((cfg.latent_size,), dtype)},
+    }
+    if cfg.blockwise:
+        params["latent_encoder"] = enc(keys[9], True)
+        params["latent_norm"] = jnp.ones((ds,), dtype)
+    return params

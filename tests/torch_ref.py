@@ -1,0 +1,104 @@
+"""Live golden oracle: builds the PyTorch reference models (read-only from
+/root/reference) with random weights and exposes them plus the converted JAX
+params.  This gives module-level parity tests without shipping any reference
+code or weights in this repo.
+"""
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+
+REFERENCE_PATH = "/root/reference"
+
+
+def _ensure_ref_importable():
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+
+
+def import_ref_model():
+    _ensure_ref_importable()
+    import model as ref_model  # noqa
+    return ref_model
+
+
+def import_ref_autoencoder():
+    _ensure_ref_importable()
+    import autoencoder as ref_ae  # noqa
+    return ref_ae
+
+
+def import_ref_inference():
+    """Import reference inference.py with its heavyweight/absent deps stubbed
+    (torchaudio, torchcodec, huggingface_hub, safetensors are not needed for
+    the sampler math we use as an oracle)."""
+    _ensure_ref_importable()
+    for name in ("torchaudio", "torchcodec", "torchcodec.decoders",
+                 "huggingface_hub"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name == "torchcodec.decoders":
+                mod.AudioDecoder = object
+            if name == "huggingface_hub":
+                mod.hf_hub_download = lambda *a, **k: None
+            sys.modules[name] = mod
+    if "safetensors.torch" not in sys.modules:
+        st = types.ModuleType("safetensors.torch")
+        st.load_file = lambda *a, **k: {}
+        pkg = types.ModuleType("safetensors")
+        pkg.torch = st
+        sys.modules.setdefault("safetensors", pkg)
+        sys.modules["safetensors.torch"] = st
+    import inference as ref_inference  # noqa
+    return ref_inference
+
+
+def build_torch_dit(cfg, seed: int = 0):
+    """Instantiate the reference EchoDiT with our config + random weights."""
+    import torch
+
+    ref_model = import_ref_model()
+    torch.manual_seed(seed)
+    model = ref_model.EchoDiT(
+        latent_size=cfg.latent_size,
+        model_size=cfg.model_size,
+        num_layers=cfg.num_layers,
+        num_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        norm_eps=cfg.norm_eps,
+        text_vocab_size=cfg.text_vocab_size,
+        text_model_size=cfg.text_model_size,
+        text_num_layers=cfg.text_num_layers,
+        text_num_heads=cfg.text_num_heads,
+        text_intermediate_size=cfg.text_intermediate_size,
+        speaker_patch_size=cfg.speaker_patch_size,
+        speaker_model_size=cfg.speaker_model_size,
+        speaker_num_layers=cfg.speaker_num_layers,
+        speaker_num_heads=cfg.speaker_num_heads,
+        speaker_intermediate_size=cfg.speaker_intermediate_size,
+        timestep_embed_size=cfg.timestep_embed_size,
+        adaln_rank=cfg.adaln_rank,
+    ).eval()
+    # Non-degenerate norm weights so parity actually exercises them.
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if "norm" in name and p.ndim >= 1 and p.dtype.is_floating_point:
+                p.add_(0.05 * torch.randn_like(p))
+    return model
+
+
+def torch_state_to_numpy(model) -> dict:
+    return {k: v.detach().cpu().float().numpy()
+            for k, v in model.state_dict().items()}
+
+
+def jax_params_from_torch(model, cfg, dtype=None):
+    from echo_tts_tpu.tools.convert import convert_dit_state
+
+    return convert_dit_state(torch_state_to_numpy(model), cfg, dtype=dtype)
+
+
+def rand(rng: np.random.Generator, *shape, dtype=np.float32):
+    return rng.standard_normal(shape).astype(dtype)
