@@ -66,8 +66,10 @@ def base_dit_config(blockwise: bool = True) -> EchoDiTConfig:
 
 def tiny_dit_config(blockwise: bool = True) -> EchoDiTConfig:
     """Small config for unit tests; same structural ratios."""
+    # latent_size stays 80: the reference sampler hard-codes the noise shape
+    # (inference.py:477), and parity tests drive it directly.
     return EchoDiTConfig(
-        latent_size=8,
+        latent_size=80,
         model_size=64,
         num_layers=2,
         num_heads=4,
