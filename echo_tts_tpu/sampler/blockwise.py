@@ -1,0 +1,159 @@
+"""Blockwise (streaming) Euler sampler with latent-prefix conditioning.
+
+Re-implements the reference streaming sampler
+(reference: inference_blockwise.py:14-123):
+
+  * fixed block sizes (XLA-friendly static shapes); the FULL prefix buffer
+    (zeros for not-yet-generated blocks) is re-encoded through the causal
+    latent encoder every block, exactly like the reference
+    (inference_blockwise.py:72-73) — causality + the position-gated latent
+    mask (model.py:243-244) make the zero-region irrelevant, and the encode
+    shape stays constant across blocks.
+  * the speaker-KV scale is re-applied at each block start and un-applied at
+    the t-crossing within the block (inference_blockwise.py:68-70, 114-116);
+    with the functional per-step scale schedule this falls out of simply
+    rebuilding the same StepPlan per block.
+  * `continuation_latent` (generation resume) is prepended and sets the
+    starting position (inference_blockwise.py:62-65).  Its length plus
+    sum(block_sizes) must be divisible by the speaker patch size.
+  * per-block initial noise is either injected (list, torch parity) or drawn
+    from a fold of `rng_key` (production; the torch reference draws blocks
+    sequentially from one generator, which JAX reproduces via injection).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EchoDiTConfig
+from ..models import dit
+from .euler import build_step_plan, _segments
+
+
+def sample_blockwise_euler_cfg_independent_guidances(
+    params: dict,
+    cfg: EchoDiTConfig,
+    speaker_latent: jnp.ndarray,
+    speaker_mask: jnp.ndarray,
+    text_input_ids: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    *,
+    block_sizes: Sequence[int],
+    num_steps: int,
+    cfg_scale_text: float,
+    cfg_scale_speaker: float,
+    cfg_min_t: float,
+    cfg_max_t: float,
+    truncation_factor: Optional[float] = None,
+    rescale_k: Optional[float] = None,
+    rescale_sigma: Optional[float] = None,
+    speaker_kv_scale: Optional[float] = None,
+    speaker_kv_max_layers: Optional[int] = None,
+    speaker_kv_min_t: Optional[float] = None,
+    continuation_latent: Optional[jnp.ndarray] = None,
+    dtype=jnp.bfloat16,
+    initial_noises: Optional[List[jnp.ndarray]] = None,
+    rng_key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Returns latents (B, cont_len + sum(block_sizes), latent) float32."""
+    batch_size = text_input_ids.shape[0]
+    block_sizes = list(block_sizes)
+
+    if initial_noises is None and rng_key is None:
+        raise ValueError("provide initial_noises or rng_key")
+
+    total = sum(block_sizes)
+    start_pos = 0
+    prefix = jnp.zeros((batch_size, total, cfg.latent_size), jnp.float32)
+    if continuation_latent is not None:
+        start_pos = continuation_latent.shape[1]
+        prefix = jnp.concatenate(
+            [continuation_latent.astype(jnp.float32), prefix], axis=1)
+    if prefix.shape[1] % cfg.speaker_patch_size != 0:
+        raise ValueError(
+            f"continuation length {start_pos} + sum(block_sizes) {total} must "
+            f"be divisible by speaker_patch_size {cfg.speaker_patch_size}")
+
+    plan = build_step_plan(num_steps, cfg_min_t, cfg_max_t, rescale_k,
+                           rescale_sigma, speaker_kv_scale, speaker_kv_min_t)
+    segments = _segments(plan.has_cfg)
+
+    kv_text = dit.get_kv_cache_text(params, cfg, text_input_ids, text_mask)
+    kv_speaker = dit.get_kv_cache_speaker(
+        params, cfg, speaker_latent.astype(dtype))
+
+    zero_t = jnp.zeros_like(text_mask)
+    zero_s = jnp.zeros_like(speaker_mask)
+    full_text_mask = jnp.concatenate([text_mask, zero_t, text_mask], axis=0)
+    full_speaker_mask = jnp.concatenate(
+        [speaker_mask, speaker_mask, zero_s], axis=0)
+
+    max_layers = (cfg.num_layers if speaker_kv_max_layers is None
+                  else min(speaker_kv_max_layers, cfg.num_layers))
+    layer_gate = (jnp.arange(cfg.num_layers) < max_layers)
+    s_text = np.float32(cfg_scale_text)
+    s_spk = np.float32(cfg_scale_speaker)
+
+    def step_scales(spk_scale):
+        return jnp.where(layer_gate, spk_scale, 1.0).astype(jnp.float32)
+
+    n_lat = prefix.shape[1] // cfg.speaker_patch_size
+
+    for b_idx, block_size in enumerate(block_sizes):
+        kv_latent = dit.get_kv_cache_latent(params, cfg, prefix.astype(dtype))
+        lat_mask = jnp.asarray(dit.latent_prefix_mask(
+            batch_size, n_lat, start_pos, cfg.speaker_patch_size))
+        lat_mask3 = jnp.concatenate([lat_mask] * 3, axis=0)
+
+        if initial_noises is not None:
+            x_t = initial_noises[b_idx].astype(jnp.float32)
+        else:
+            x_t = jax.random.normal(
+                jax.random.fold_in(rng_key, b_idx),
+                (batch_size, block_size, cfg.latent_size), jnp.float32)
+        if truncation_factor is not None:
+            x_t = x_t * np.float32(truncation_factor)
+
+        def cfg_step(x, step):
+            x3 = jnp.concatenate([x, x, x], axis=0).astype(dtype)
+            t3 = jnp.full((3 * batch_size,), step["t"],
+                          jnp.float32).astype(dtype)
+            v = dit.dit_forward(
+                params, cfg, x3, t3, full_text_mask, full_speaker_mask,
+                kv_text, kv_speaker, start_pos=start_pos,
+                kv_latent=kv_latent, latent_mask=lat_mask3,
+                speaker_scale_by_layer=step_scales(step["spk"]))
+            v_c, v_ut, v_us = jnp.split(v, 3, axis=0)
+            v = v_c + s_text * (v_c - v_ut) + s_spk * (v_c - v_us)
+            v = step["c1"] * v + step["c2"] * x
+            return x + v * step["dt"], None
+
+        def plain_step(x, step):
+            t1 = jnp.full((batch_size,), step["t"],
+                          jnp.float32).astype(dtype)
+            v = dit.dit_forward(
+                params, cfg, x.astype(dtype), t1, text_mask, speaker_mask,
+                kv_text, kv_speaker, start_pos=start_pos,
+                kv_latent=kv_latent, latent_mask=lat_mask,
+                speaker_scale_by_layer=step_scales(step["spk"]))
+            v = step["c1"] * v + step["c2"] * x
+            return x + v * step["dt"], None
+
+        for is_cfg, start, stop in segments:
+            xs = {
+                "t": jnp.asarray(plan.t[start:stop]),
+                "dt": jnp.asarray(plan.dt[start:stop]),
+                "spk": jnp.asarray(plan.speaker_scale[start:stop]),
+                "c1": jnp.asarray(plan.rescale_c1[start:stop]),
+                "c2": jnp.asarray(plan.rescale_c2[start:stop]),
+            }
+            x_t, _ = jax.lax.scan(cfg_step if is_cfg else plain_step, x_t, xs)
+
+        prefix = jax.lax.dynamic_update_slice(
+            prefix, x_t, (0, start_pos, 0))
+        start_pos += block_size
+
+    return prefix

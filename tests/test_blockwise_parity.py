@@ -1,0 +1,111 @@
+"""Blockwise streaming sampler parity vs the reference
+(fp32, CPU, tiny model, injected per-block torch noise)."""
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from echo_tts_tpu.config import tiny_dit_config
+from echo_tts_tpu.sampler.blockwise import (
+    sample_blockwise_euler_cfg_independent_guidances,
+)
+
+from torch_ref import build_torch_dit, jax_params_from_torch, rand
+
+CFG = tiny_dit_config()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tmodel = build_torch_dit(CFG, seed=0)
+    params = jax_params_from_torch(tmodel, CFG)
+    import sys
+    sys.path.insert(0, "/root/reference")
+    import torch_ref
+    torch_ref.import_ref_inference()  # satisfies inference_blockwise imports
+    import inference_blockwise as ref_bw
+    return tmodel, params, ref_bw
+
+
+def _torch_noises(seed, b, block_sizes, latent):
+    """The reference draws all blocks from ONE generator sequentially
+    (inference_blockwise.py:42, 76)."""
+    rng = torch.Generator(device="cpu").manual_seed(seed)
+    return [torch.randn((b, bs, latent), dtype=torch.float32, generator=rng)
+            for bs in block_sizes]
+
+
+BASE = dict(
+    num_steps=4, cfg_scale_text=3.0, cfg_scale_speaker=5.0,
+    cfg_min_t=0.5, cfg_max_t=1.0,
+    truncation_factor=0.8, rescale_k=None, rescale_sigma=None,
+    speaker_kv_scale=None, speaker_kv_max_layers=None, speaker_kv_min_t=None,
+)
+
+
+def _run_both(setup, kw, block_sizes, seed=0, continuation=None):
+    tmodel, params, ref_bw = setup
+    rng = np.random.default_rng(seed + 50)
+    b = 1
+    ids = rng.integers(0, CFG.text_vocab_size, size=(b, 10))
+    tmask = np.ones((b, 10), dtype=bool)
+    spk_latent = rand(rng, b, 8, CFG.latent_size)
+    smask = np.ones((b, 8), dtype=bool)
+
+    cont_t = None if continuation is None else torch.tensor(continuation)
+    with torch.no_grad():
+        ref = ref_bw.sample_blockwise_euler_cfg_independent_guidances(
+            model=tmodel,
+            speaker_latent=torch.tensor(spk_latent),
+            speaker_mask=torch.tensor(smask),
+            text_input_ids=torch.tensor(ids),
+            text_mask=torch.tensor(tmask),
+            rng_seed=seed,
+            block_sizes=list(block_sizes),
+            continuation_latent=cont_t,
+            **kw,
+        ).numpy()
+
+    noises = [n.numpy() for n in _torch_noises(seed, b, block_sizes,
+                                               CFG.latent_size)]
+    got = np.asarray(sample_blockwise_euler_cfg_independent_guidances(
+        params, CFG,
+        jnp.asarray(spk_latent), jnp.asarray(smask),
+        jnp.asarray(ids), jnp.asarray(tmask),
+        block_sizes=list(block_sizes),
+        dtype=jnp.float32,
+        initial_noises=[jnp.asarray(n) for n in noises],
+        continuation_latent=None if continuation is None
+        else jnp.asarray(continuation),
+        **kw,
+    ))
+    return got, ref
+
+
+def _assert_close(got, ref):
+    mse = float(np.mean((got - ref) ** 2))
+    assert mse < 1e-8, f"latent MSE {mse}"
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-4)
+
+
+def test_blockwise_basic(setup):
+    got, ref = _run_both(setup, dict(BASE), block_sizes=[8, 8, 4])
+    _assert_close(got, ref)
+
+
+def test_blockwise_speaker_kv_scale(setup):
+    kw = dict(BASE, speaker_kv_scale=1.5, speaker_kv_max_layers=1,
+              speaker_kv_min_t=0.4)
+    got, ref = _run_both(setup, kw, block_sizes=[8, 8], seed=1)
+    _assert_close(got, ref)
+
+
+def test_blockwise_continuation(setup):
+    rng = np.random.default_rng(99)
+    continuation = rand(rng, 1, 8, CFG.latent_size)
+    got, ref = _run_both(setup, dict(BASE), block_sizes=[8, 4], seed=2,
+                         continuation=continuation)
+    _assert_close(got, ref)
+    # continuation region is passed through untouched
+    np.testing.assert_allclose(got[:, :8], continuation, rtol=1e-6, atol=1e-7)
