@@ -140,6 +140,7 @@ class DACConfig:
     codebook_dim: int = 8
     semantic_codebook_size: int = 4096
     downsample_factor: Tuple[int, ...] = (2, 2)
+    quantizer_transformer_layers: int = 8
 
     @property
     def hop_length(self) -> int:
@@ -154,10 +155,15 @@ class DACConfig:
         return self.hop_length * 4
 
     def quantizer_transformer_config(self) -> AETransformerConfig:
-        # q_config (reference: autoencoder.py:1149-1153) with window 128
+        # q_config (reference: autoencoder.py:1149-1153) with window 128;
+        # dims derive from latent_dim (published build: 1024 -> heads 16,
+        # intermediate 3072).
         return AETransformerConfig(
-            n_layer=8, n_head=16, dim=1024, intermediate_size=3072,
-            head_dim=64, norm_eps=1e-5, window_size=128, input_dim=self.latent_dim,
+            n_layer=self.quantizer_transformer_layers,
+            n_head=self.latent_dim // 64, dim=self.latent_dim,
+            intermediate_size=self.latent_dim * 3,
+            head_dim=64, norm_eps=1e-5, window_size=128,
+            input_dim=self.latent_dim,
         )
 
     def encoder_transformer_config(self, dim: int, n_layer: int) -> AETransformerConfig:
@@ -172,6 +178,24 @@ class DACConfig:
 
 def base_dac_config() -> DACConfig:
     return DACConfig()
+
+
+def tiny_dac_config() -> DACConfig:
+    """Small S1-DAC for unit tests; same structure (hop 8, frame 32)."""
+    return DACConfig(
+        encoder_dim=16,
+        encoder_rates=(2, 4),
+        latent_dim=64,
+        decoder_dim=64,
+        decoder_rates=(4, 2),
+        encoder_transformer_layers=(0, 2),
+        n_codebooks=2,
+        codebook_size=32,
+        codebook_dim=4,
+        semantic_codebook_size=64,
+        downsample_factor=(2, 2),
+        quantizer_transformer_layers=2,
+    )
 
 
 # Sampler defaults shared by serving and demo layers

@@ -1,0 +1,107 @@
+"""Causal 1D conv machinery for the S1-DAC codec, NLC layout.
+
+Re-implements the reference conv stack (reference: autoencoder.py:38-109,
+264-373) in (batch, time, channels) layout — TPU/XLA's preferred layout —
+with weight-norm already folded into plain kernels by the converter.
+
+Causal padding amounts are pure functions of static lengths, so they are
+resolved at trace time (the reference computes them from runtime shapes,
+autoencoder.py:49-56, which is equivalent under static shapes).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_DN = ("NHC", "HIO", "NHC")
+
+
+def causal_conv1d(x: jnp.ndarray, kernel: jnp.ndarray,
+                  bias: Optional[jnp.ndarray], *, stride: int = 1,
+                  dilation: int = 1, groups: int = 1) -> jnp.ndarray:
+    """CausalConvNet.forward (reference: autoencoder.py:285-289).
+
+    x: (B, L, C_in); kernel: (K, C_in // groups, C_out).
+    Left-pad (k_eff - stride), right-pad so strides cover the length:
+    output length = ceil(L / stride).
+    """
+    k = kernel.shape[0]
+    k_eff = (k - 1) * dilation + 1
+    pad_left = k_eff - stride
+    length = x.shape[1]
+    # get_extra_padding_for_conv1d (autoencoder.py:49-56) with
+    # padding_total = k_eff - stride reduces to ceil(L/s)*s - L.
+    extra = math.ceil(length / stride) * stride - length
+    x = jnp.pad(x, ((0, 0), (pad_left, extra), (0, 0)))
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride,), padding="VALID",
+        rhs_dilation=(dilation,), dimension_numbers=_DN,
+        feature_group_count=groups)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def causal_conv_transpose1d(x: jnp.ndarray, kernel: jnp.ndarray,
+                            bias: Optional[jnp.ndarray], *,
+                            stride: int) -> jnp.ndarray:
+    """CausalTransConvNet.forward (reference: autoencoder.py:310-316).
+
+    kernel: (K, C_out, C_in) — `transpose_kernel=True` layout matching
+    torch ConvTranspose1d.  Full-size transpose output then unpad
+    (k - stride) from the RIGHT; output length = L * stride.
+    """
+    k = kernel.shape[0]
+    out = jax.lax.conv_transpose(
+        x, kernel, strides=(stride,), padding="VALID",
+        dimension_numbers=_DN, transpose_kernel=True)
+    if bias is not None:
+        out = out + bias
+    pad = k - stride
+    if pad > 0:
+        out = out[:, :-pad]
+    return out
+
+
+def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Snake activation x + (1/(a+1e-9)) sin^2(a x)
+    (reference: autoencoder.py:96-109).  alpha: (C,) in NLC."""
+    return x + (1.0 / (alpha + 1e-9)) * jnp.square(jnp.sin(alpha * x))
+
+
+def layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+               eps: float) -> jnp.ndarray:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * weight + bias
+
+
+def convnext_block(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """1D ConvNeXt block (reference: autoencoder.py:333-373):
+    causal depthwise k7 -> LN(1e-6) -> Linear 4x -> GELU(exact) -> Linear
+    -> layer-scale gamma -> residual."""
+    inp = x
+    dim = x.shape[-1]
+    x = causal_conv1d(x, p["dwconv"]["kernel"], p["dwconv"]["bias"],
+                      groups=dim)
+    x = layer_norm(x, p["norm"]["weight"], p["norm"]["bias"], 1e-6)
+    x = x @ p["pwconv1"]["kernel"] + p["pwconv1"]["bias"]
+    x = jax.nn.gelu(x, approximate=False)
+    x = x @ p["pwconv2"]["kernel"] + p["pwconv2"]["bias"]
+    x = p["gamma"] * x
+    return inp + x
+
+
+def residual_unit(p: dict, x: jnp.ndarray, dilation: int) -> jnp.ndarray:
+    """Snake -> causal k7 dilated conv -> Snake -> causal k1 conv, residual
+    (reference: autoencoder.py:879-900; causal branch pads nothing since
+    causal convs are length-preserving at stride 1)."""
+    y = snake(x, p["snake1"])
+    y = causal_conv1d(y, p["conv1"]["kernel"], p["conv1"]["bias"],
+                      dilation=dilation)
+    y = snake(y, p["snake2"])
+    y = causal_conv1d(y, p["conv2"]["kernel"], p["conv2"]["bias"])
+    return x + y

@@ -102,3 +102,81 @@ def jax_params_from_torch(model, cfg, dtype=None):
 
 def rand(rng: np.random.Generator, *shape, dtype=np.float32):
     return rng.standard_normal(shape).astype(dtype)
+
+
+def build_torch_dac(cfg, seed: int = 0):
+    """Instantiate the reference S1-DAC (build_ae structure,
+    autoencoder.py:1144-1192) from our DACConfig, with random weights."""
+    import torch
+
+    ref_ae = import_ref_autoencoder()
+    torch.manual_seed(seed)
+
+    q_config = ref_ae.ModelArgs(
+        block_size=4096,
+        n_layer=cfg.quantizer_transformer_layers,
+        n_head=cfg.latent_dim // 64,
+        dim=cfg.latent_dim,
+        intermediate_size=cfg.latent_dim * 3,
+        head_dim=64,
+        norm_eps=1e-5,
+        dropout_rate=0.1,
+        attn_dropout_rate=0.1,
+        channels_first=True,
+    )
+
+    def make_transformer():
+        return ref_ae.WindowLimitedTransformer(
+            causal=True, window_size=128, input_dim=cfg.latent_dim,
+            config=q_config)
+
+    quantizer = ref_ae.DownsampleResidualVectorQuantize(
+        input_dim=cfg.latent_dim,
+        n_codebooks=cfg.n_codebooks,
+        codebook_size=cfg.codebook_size,
+        codebook_dim=cfg.codebook_dim,
+        quantizer_dropout=0.5,
+        downsample_factor=tuple(cfg.downsample_factor),
+        semantic_codebook_size=cfg.semantic_codebook_size,
+        pre_module=make_transformer(),
+        post_module=make_transformer(),
+    )
+
+    def transformer_general_config(**kw):
+        return ref_ae.ModelArgs(
+            block_size=kw.get("block_size", 16384),
+            n_layer=kw.get("n_layer", 8),
+            n_head=kw.get("n_head", 8),
+            dim=kw.get("dim", 512),
+            intermediate_size=kw.get("intermediate_size", 1536),
+            n_local_heads=kw.get("n_local_heads", -1),
+            head_dim=kw.get("head_dim", 64),
+            rope_base=kw.get("rope_base", 10000),
+            norm_eps=kw.get("norm_eps", 1e-5),
+            dropout_rate=kw.get("dropout_rate", 0.1),
+            attn_dropout_rate=kw.get("attn_dropout_rate", 0.1),
+            channels_first=kw.get("channels_first", True),
+        )
+
+    dac = ref_ae.DAC(
+        encoder_dim=cfg.encoder_dim,
+        encoder_rates=list(cfg.encoder_rates),
+        latent_dim=cfg.latent_dim,
+        decoder_dim=cfg.decoder_dim,
+        decoder_rates=list(cfg.decoder_rates),
+        quantizer=quantizer,
+        sample_rate=cfg.sample_rate,
+        causal=True,
+        encoder_transformer_layers=list(cfg.encoder_transformer_layers),
+        decoder_transformer_layers=[0] * len(cfg.decoder_rates),
+        transformer_general_config=transformer_general_config,
+    )
+    return dac.eval()
+
+
+def jax_dac_params_from_torch(dac, cfg):
+    from echo_tts_tpu.tools.convert_dac import convert_dac_state
+
+    state = {k: v.detach().cpu().float().numpy()
+             for k, v in dac.state_dict().items()}
+    return convert_dac_state(state, cfg)
