@@ -1,0 +1,187 @@
+"""Text -> audio orchestration (host side).
+
+Mirrors the reference pipeline (reference: inference.py:218-388): AE encode
+of the speaker reference in ~30 s chunks, sampler invocation, AE decode,
+end-of-speech crop, and the chunked-text variant.
+
+A `sample_fn` has the signature
+    sample_fn(models, speaker_latent, speaker_mask, text_ids, text_mask,
+              rng_seed) -> latents (B, S, 80) float32
+and is normally built with functools.partial over one of the samplers
+(see serve/handler.py, mirroring handler.py:426-443).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (AE_DOWNSAMPLE_FACTOR, DACConfig, EchoDiTConfig,
+                      MAX_SPEAKER_LATENT_LENGTH, MAX_TEXT_LENGTH)
+from ..models.dac import dac as jdac
+from . import dsp
+from .text import get_text_input_ids_and_mask
+
+
+@dataclasses.dataclass
+class EchoModels:
+    """Bundle of converted parameters + configs (the analog of the
+    reference's (model, fish_ae, pca_state) triple)."""
+    dit_params: dict
+    dit_cfg: EchoDiTConfig
+    dac_params: dict
+    dac_cfg: DACConfig
+    pca: dict
+    dtype: object = jnp.bfloat16
+
+
+SampleFn = Callable[..., jnp.ndarray]
+
+
+def ae_encode(models: EchoModels, audio: jnp.ndarray) -> jnp.ndarray:
+    """(B, L) or (B, L, 1) waveform -> (B, T, 80) whitened latents
+    (reference: inference.py:218-224)."""
+    if audio.ndim == 2:
+        audio = audio[..., None]
+    z_q = jdac.encode_zq(models.dac_params, models.dac_cfg, audio)
+    return jdac.pca_whiten(z_q.astype(jnp.float32), models.pca)
+
+
+def ae_decode(models: EchoModels, latents: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, 80) latents -> (B, T*2048) float32 waveform
+    (reference: inference.py:227-229)."""
+    z_q = jdac.pca_unwhiten(latents, models.pca)
+    audio = jdac.decode_zq(models.dac_params, models.dac_cfg,
+                           z_q.astype(jnp.float32))
+    return audio[..., 0].astype(jnp.float32)
+
+
+def ae_reconstruct(models: EchoModels, audio: jnp.ndarray) -> jnp.ndarray:
+    """Debug round-trip (reference: inference.py:231-235)."""
+    return ae_decode(models, ae_encode(models, audio))
+
+
+def get_speaker_latent_and_mask(
+    models: EchoModels,
+    audio: np.ndarray,  # (1, length) float32
+    max_speaker_latent_length: int = MAX_SPEAKER_LATENT_LENGTH,
+    audio_chunk_size: int = 640 * AE_DOWNSAMPLE_FACTOR,
+    pad_to_max: bool = False,
+    divis_by_patch_size: Optional[int] = 4,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Chunked AE-encode of the speaker reference
+    (reference: inference.py:239-283): fixed ~30 s chunks, each zero-padded
+    to the full chunk (so every encode has the same static shape), then
+    concatenated and cropped/padded."""
+    assert audio.ndim == 2 and audio.shape[0] == 1
+    max_audio_len = max_speaker_latent_length * AE_DOWNSAMPLE_FACTOR
+    audio = np.asarray(audio, dtype=np.float32)[:, :max_audio_len]
+
+    latent_arr = []
+    for i in range(0, audio.shape[1], audio_chunk_size):
+        chunk = audio[:, i:i + audio_chunk_size]
+        if chunk.shape[1] < audio_chunk_size:
+            chunk = np.pad(chunk, ((0, 0), (0, audio_chunk_size - chunk.shape[1])))
+        latent = ae_encode(models, jnp.asarray(chunk))
+        latent_arr.append(np.asarray(latent))
+
+    speaker_latent = np.concatenate(latent_arr, axis=1)
+    actual = audio.shape[1] // AE_DOWNSAMPLE_FACTOR
+    speaker_mask = (np.arange(speaker_latent.shape[1]) < actual)[None, :]
+
+    if pad_to_max and speaker_latent.shape[1] < max_speaker_latent_length:
+        pad = max_speaker_latent_length - speaker_latent.shape[1]
+        speaker_latent = np.pad(speaker_latent, ((0, 0), (0, pad), (0, 0)))
+        speaker_mask = np.pad(speaker_mask, ((0, 0), (0, pad)))
+    elif not pad_to_max:
+        speaker_latent = speaker_latent[:, :actual]
+        speaker_mask = speaker_mask[:, :actual]
+
+    if divis_by_patch_size is not None:
+        n = speaker_latent.shape[1] // divis_by_patch_size * divis_by_patch_size
+        speaker_latent = speaker_latent[:, :n]
+        speaker_mask = speaker_mask[:, :n]
+
+    return speaker_latent.astype(np.float32), speaker_mask
+
+
+def sample_pipeline(
+    models: EchoModels,
+    sample_fn: SampleFn,
+    text_prompt: str,
+    speaker_audio: Optional[np.ndarray],
+    rng_seed: int,
+    pad_to_max_speaker_latent_length: Optional[int] = None,
+    pad_to_max_text_length: Optional[int] = None,
+    normalize_text: bool = True,
+) -> Tuple[np.ndarray, str]:
+    """Single-chunk text -> audio (reference: inference.py:308-347).
+    Returns ((1, samples) float32, normalized_text)."""
+    # Text is always padded to the (bucketed) max length — the reference's
+    # pad_to_max=False branch is a no-op slice (inference.py:206-207), so
+    # sample_pipeline always runs 768-wide text; that is also exactly the
+    # static-shape discipline XLA wants.
+    text_ids, text_mask, normalized = get_text_input_ids_and_mask(
+        [text_prompt],
+        max_length=min(pad_to_max_text_length or MAX_TEXT_LENGTH,
+                       MAX_TEXT_LENGTH),
+        normalize=normalize_text, return_normalized_text=True)
+
+    if speaker_audio is None:
+        n = pad_to_max_speaker_latent_length or 4
+        speaker_latent = np.zeros((1, n, models.dit_cfg.latent_size),
+                                  dtype=np.float32)
+        speaker_mask = np.zeros((1, n), dtype=bool)
+    else:
+        speaker_latent, speaker_mask = get_speaker_latent_and_mask(
+            models, speaker_audio,
+            max_speaker_latent_length=(pad_to_max_speaker_latent_length
+                                       or MAX_SPEAKER_LATENT_LENGTH),
+            pad_to_max=pad_to_max_speaker_latent_length is not None)
+
+    latent_out = sample_fn(models, jnp.asarray(speaker_latent),
+                           jnp.asarray(speaker_mask), jnp.asarray(text_ids),
+                           jnp.asarray(text_mask), rng_seed)
+
+    audio_out = np.asarray(ae_decode(models, latent_out))
+    audio_out = dsp.crop_audio_to_flattening_point(
+        audio_out, np.asarray(latent_out[0]))
+    return audio_out, normalized[0]
+
+
+def sample_pipeline_chunked(
+    models: EchoModels,
+    sample_fn: SampleFn,
+    text_prompt: str,
+    speaker_audio: Optional[np.ndarray],
+    rng_seed: int,
+    *,
+    max_chars_per_chunk: int = 300,
+    pad_to_max_speaker_latent_length: Optional[int] = None,
+    pad_to_max_text_length: Optional[int] = None,
+    normalize_text: bool = True,
+) -> Tuple[np.ndarray, str]:
+    """Library chunked variant with per-chunk seed progression seed+idx and
+    plain concatenation (reference: inference.py:349-388)."""
+    from .text import chunk_text
+
+    chunks = chunk_text(text_prompt, max_chars=max_chars_per_chunk)
+    if not chunks:
+        raise ValueError("text_prompt is empty after normalization")
+
+    audio_chunks: List[np.ndarray] = []
+    normalized_chunks: List[str] = []
+    for idx, chunk in enumerate(chunks):
+        audio_out, normalized = sample_pipeline(
+            models, sample_fn, chunk, speaker_audio, rng_seed + idx,
+            pad_to_max_speaker_latent_length=pad_to_max_speaker_latent_length,
+            pad_to_max_text_length=pad_to_max_text_length,
+            normalize_text=normalize_text)
+        audio_chunks.append(audio_out)
+        normalized_chunks.append(normalized)
+
+    return (np.concatenate(audio_chunks, axis=-1),
+            "\n".join(normalized_chunks))

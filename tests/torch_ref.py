@@ -55,6 +55,24 @@ def import_ref_inference():
     return ref_inference
 
 
+def import_ref_handler():
+    """Import reference handler.py with runpod/boto3/torchaudio stubbed —
+    we only use its pure DSP/chunking functions as oracles."""
+    import_ref_inference()  # inference import chain must already be stubbed
+    for name in ("runpod", "boto3"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name == "runpod":
+                class _Log:
+                    def __getattr__(self, _):
+                        return lambda *a, **k: None
+                mod.RunPodLogger = _Log
+                mod.serverless = types.SimpleNamespace(start=lambda *a, **k: None)
+            sys.modules[name] = mod
+    import handler as ref_handler  # noqa
+    return ref_handler
+
+
 def build_torch_dit(cfg, seed: int = 0):
     """Instantiate the reference EchoDiT with our config + random weights."""
     import torch
