@@ -1,0 +1,232 @@
+"""Serverless-style request handler.
+
+Re-implements the reference worker's request contract
+(reference: handler.py:682-861) on the TPU pipeline:
+
+  handler({"input": {...}}) -> dict
+
+  synthesis input: {"text": str (<=4000 chars), "speaker_voice": filename?,
+                    "parameters": {...sampler params...}, "seed": int?,
+                    "session_id": str?, "boundary_mode":
+                    "normalize"|"crossfade"|"none",
+                    "max_chars_per_chunk": int?, "target_chunk_duration": s?}
+  health check:    {"action": "health_check"}
+
+Per-chunk seeds advance seed + idx*1000 (reference: handler.py:749); chunk
+boundaries go through normalize_chunk_boundaries / crossfade_chunks
+(reference: handler.py:763-768); the error envelope returns
+{error, error_type, traceback} (reference: handler.py:797-803).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+import traceback
+import uuid
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..config import SAMPLER_DEFAULTS
+from ..pipeline import audio_io, dsp
+from ..pipeline.pipeline import EchoModels, sample_pipeline
+from ..sampler.euler import sample_euler_cfg_independent_guidances
+from . import models as models_mod
+from .config import AUDIO_EXTENSIONS, ServeConfig, device_info, load_config, scan_voices
+from .storage import save_and_upload_audio
+
+log = logging.getLogger("echo_tts_tpu.serve")
+
+MAX_TEXT_CHARS = 4000       # reference: handler.py:690-698
+SAMPLE_RATE = 44100
+SEED_STRIDE = 1000          # reference: handler.py:749
+
+
+def build_sample_fn(parameters: Optional[Dict] = None):
+    """functools.partial-equivalent over the Euler sampler with request
+    parameters + defaults (reference: handler.py:426-443)."""
+    p = dict(SAMPLER_DEFAULTS)
+    unknown = set(parameters or ()) - set(p)
+    if unknown:
+        raise ValueError(f"unknown sampler parameters: {sorted(unknown)}")
+    p.update(parameters or {})
+
+    def sample_fn(models: EchoModels, speaker_latent, speaker_mask,
+                  text_ids, text_mask, rng_seed: int):
+        return sample_euler_cfg_independent_guidances(
+            models.dit_params, models.dit_cfg, speaker_latent, speaker_mask,
+            text_ids, text_mask, dtype=models.dtype,
+            rng_key=jax.random.PRNGKey(rng_seed), **p)
+
+    return sample_fn, p
+
+
+def _resolve_voice(cfg: ServeConfig, speaker_voice: str) -> str:
+    """Path-traversal + extension checks (reference: handler.py:711-718)."""
+    name = os.path.basename(speaker_voice)
+    if name != speaker_voice or speaker_voice.startswith("."):
+        raise ValueError("invalid speaker_voice: path components not allowed")
+    if not name.lower().endswith(AUDIO_EXTENSIONS):
+        raise ValueError(
+            f"invalid speaker_voice extension; allowed: {AUDIO_EXTENSIONS}")
+    path = os.path.join(cfg.voices_dir, name)
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"voice file not found: {name}")
+    return path
+
+
+def health_check(cfg: Optional[ServeConfig] = None) -> Dict:
+    """Operational status without synthesis
+    (reference: handler.py:609-679)."""
+    cfg = cfg or load_config()
+    voices = scan_voices(cfg.voices_dir)
+    return {
+        "status": "healthy" if not cfg.issues else "degraded",
+        "config_issues": cfg.issues,
+        "models_loaded": models_mod.models_loaded(),
+        "device": device_info(),
+        "s3_configured": cfg.s3_configured,
+        "voices_dir": cfg.voices_dir,
+        "voices_available": voices,
+        "output_dir": cfg.output_dir,
+        "ffmpeg": audio_io.ffmpeg_available(),
+    }
+
+
+def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
+               models: Optional[EchoModels] = None) -> Dict:
+    """Main synthesis path (reference: handler.py:682-803)."""
+    request_id = job_input.get("request_id") or uuid.uuid4().hex[:12]
+    t_start = time.time()
+    cfg = cfg or load_config()
+
+    text = job_input.get("text")
+    if not text or not isinstance(text, str):
+        raise ValueError("'text' is required")
+    if len(text) > MAX_TEXT_CHARS:
+        raise ValueError(
+            f"text too long: {len(text)} > {MAX_TEXT_CHARS} chars")
+
+    sample_fn, sample_params = build_sample_fn(
+        job_input.get("parameters"))
+
+    if models is None:
+        models = models_mod.load_models(
+            cfg.model_dir, allow_random=bool(job_input.get("_allow_random")))
+
+    speaker_audio = None
+    voice_name = job_input.get("speaker_voice")
+    if voice_name:
+        path = _resolve_voice(cfg, voice_name)
+        speaker_audio = audio_io.load_audio(path)
+
+    from ..pipeline.text import chunk_text_for_audio
+
+    chunks = chunk_text_for_audio(
+        text,
+        max_chars=int(job_input.get("max_chars_per_chunk", 300)),
+        target_duration_seconds=float(
+            job_input.get("target_chunk_duration", 10.0)))
+    if not chunks:
+        raise ValueError("text is empty after normalization")
+
+    seed = int(job_input.get("seed", 0))
+    audio_chunks: List[np.ndarray] = []
+    for idx, chunk in enumerate(chunks):
+        chunk_audio, _ = sample_pipeline(
+            models, sample_fn, chunk, speaker_audio,
+            rng_seed=seed + idx * SEED_STRIDE)
+        audio_chunks.append(np.asarray(chunk_audio))
+        log.info("[%s] chunk %d/%d done (%.1fs audio)", request_id, idx + 1,
+                 len(chunks), chunk_audio.shape[-1] / SAMPLE_RATE)
+
+    boundary_mode = job_input.get("boundary_mode", "normalize")
+    if len(audio_chunks) == 1 or boundary_mode == "none":
+        audio = np.concatenate(audio_chunks, axis=-1)
+    elif boundary_mode == "crossfade":
+        audio = dsp.crossfade_chunks(audio_chunks)
+    elif boundary_mode == "normalize":
+        audio = dsp.normalize_chunk_boundaries(audio_chunks)
+    else:
+        raise ValueError(f"unknown boundary_mode: {boundary_mode}")
+
+    if audio.ndim == 1:
+        audio = audio[None, :]
+
+    upload = save_and_upload_audio(
+        audio, SAMPLE_RATE, cfg, request_id,
+        session_id=job_input.get("session_id"))
+
+    return {
+        "status": "success",
+        **upload,
+        "metadata": {
+            "request_id": request_id,
+            "sample_rate": SAMPLE_RATE,
+            "duration_seconds": round(audio.shape[-1] / SAMPLE_RATE, 3),
+            "num_chunks": len(chunks),
+            "seed": seed,
+            "sampler": sample_params,
+            "speaker_voice": voice_name,
+            "device": device_info()["platform"],
+            "generation_time_seconds": round(time.time() - t_start, 3),
+        },
+    }
+
+
+def handler(job: Dict) -> Dict:
+    """Queue-worker entry point (reference: handler.py:806-816)."""
+    try:
+        job_input = job.get("input") or {}
+        if job_input.get("action") == "health_check":
+            return health_check()
+        return synthesize(job_input)
+    except Exception as exc:
+        return {
+            "error": str(exc),
+            "error_type": type(exc).__name__,
+            "traceback": traceback.format_exc(),
+        }
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    """CLI: `--warmup` pre-loads models then exits
+    (reference: handler.py:822-861); otherwise starts the runpod worker when
+    available, else serves stdin/stdout JSON lines."""
+    import argparse
+    import json
+    import sys
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--warmup", action="store_true")
+    parser.add_argument("--allow-random-weights", action="store_true")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    cfg = load_config()
+    for issue in cfg.issues:
+        log.warning("config: %s (starting anyway)", issue)
+
+    if args.warmup:
+        models_mod.load_models(cfg.model_dir,
+                               allow_random=args.allow_random_weights)
+        log.info("warmup complete")
+        return
+
+    try:
+        import runpod
+        runpod.serverless.start({"handler": handler})
+    except ImportError:
+        log.info("runpod not installed; serving JSON lines on stdin")
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            job = json.loads(line)
+            print(json.dumps(handler(job)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Lazy model loading + caching for the serving worker.
+
+The reference caches models in a module-global dict with per-phase load
+timers (reference: handler.py:320-423).  Here the bundle is an
+`EchoModels` pytree; weights come from converted safetensors in
+`ECHO_MODEL_DIR` (tools/convert.py, tools/convert_dac.py) or — for
+development and benchmarks — random initialization.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import threading
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import base_dac_config, base_dit_config
+from ..pipeline.pipeline import EchoModels
+
+log = logging.getLogger("echo_tts_tpu.serve")
+
+_CACHE_LOCK = threading.Lock()
+_MODELS: Optional[EchoModels] = None
+
+DIT_WEIGHTS = "pytorch_model.safetensors"
+DAC_WEIGHTS = "fish_ae.safetensors"
+PCA_WEIGHTS = "pca_state.safetensors"
+
+
+def _load_from_dir(model_dir: str, dtype) -> EchoModels:
+    from safetensors import safe_open
+
+    from ..tools.convert import load_dit_from_safetensors
+    from ..tools.convert_dac import convert_pca_state, load_dac_from_safetensors
+
+    dit_cfg = base_dit_config()
+    dac_cfg = base_dac_config()
+
+    t0 = time.time()
+    dit_params = load_dit_from_safetensors(
+        os.path.join(model_dir, DIT_WEIGHTS), dit_cfg, dtype=dtype)
+    log.info("loaded DiT weights in %.1fs", time.time() - t0)
+
+    t0 = time.time()
+    dac_params = load_dac_from_safetensors(
+        os.path.join(model_dir, DAC_WEIGHTS), dac_cfg)
+    log.info("loaded S1-DAC weights in %.1fs", time.time() - t0)
+
+    with safe_open(os.path.join(model_dir, PCA_WEIGHTS),
+                   framework="np") as f:
+        pca = convert_pca_state(
+            f.get_tensor("pca_components"), f.get_tensor("pca_mean"),
+            float(f.get_tensor("latent_scale")))
+
+    return EchoModels(dit_params=dit_params, dit_cfg=dit_cfg,
+                      dac_params=dac_params, dac_cfg=dac_cfg, pca=pca,
+                      dtype=dtype)
+
+
+def _random_models(dtype) -> EchoModels:
+    from ..models.dac.init import init_dac_params, init_pca_params
+    from ..models.dit import init_dit_params
+
+    dit_cfg = base_dit_config()
+    dac_cfg = base_dac_config()
+    k = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(k, 3)
+    return EchoModels(
+        dit_params=init_dit_params(k1, dit_cfg, dtype=dtype),
+        dit_cfg=dit_cfg,
+        dac_params=init_dac_params(k2, dac_cfg, dtype=jnp.float32),
+        dac_cfg=dac_cfg,
+        pca=init_pca_params(k3, dit_cfg.latent_size, dac_cfg.latent_dim),
+        dtype=dtype)
+
+
+def load_models(model_dir: Optional[str] = None,
+                dtype=jnp.bfloat16,
+                allow_random: bool = False) -> EchoModels:
+    """Load (once) and cache the model bundle
+    (reference: handler.py:323-423)."""
+    global _MODELS
+    with _CACHE_LOCK:
+        if _MODELS is not None:
+            return _MODELS
+        t0 = time.time()
+        if model_dir and os.path.isdir(model_dir):
+            _MODELS = _load_from_dir(model_dir, dtype)
+        elif allow_random:
+            log.warning("no ECHO_MODEL_DIR: using RANDOM weights (dev mode)")
+            _MODELS = _random_models(dtype)
+        else:
+            raise FileNotFoundError(
+                f"model dir not found: {model_dir!r}; set ECHO_MODEL_DIR to "
+                "a directory with converted safetensors, or pass "
+                "allow_random=True for development")
+        log.info("models ready in %.1fs", time.time() - t0)
+        return _MODELS
+
+
+def models_loaded() -> bool:
+    return _MODELS is not None
+
+
+def clear_models() -> None:
+    global _MODELS
+    with _CACHE_LOCK:
+        _MODELS = None

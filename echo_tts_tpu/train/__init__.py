@@ -1,0 +1,5 @@
+from .step import (TrainState, create_train_state, flow_matching_loss,
+                   make_optimizer, make_train_step)
+
+__all__ = ["TrainState", "create_train_state", "flow_matching_loss",
+           "make_optimizer", "make_train_step"]

@@ -1,0 +1,114 @@
+"""Sharded flow-matching training step for EchoDiT.
+
+The reference is inference-only (SURVEY.md §4: no training code anywhere);
+this module adds the training counterpart the TPU framework needs to be
+self-hosting: a rectified-flow (v-prediction) objective consistent with the
+Euler sampler's integration convention (sampler/euler.py: x_{t'} = x + v·dt
+with t: 1 → 0, x(1) = noise), optimized with AdamW, jitted over a
+(data, model) `jax.sharding.Mesh` with Megatron-style tensor parallelism
+(parallel/mesh.py) and data-parallel batch sharding.
+
+Convention: x_t = t·ε + (1−t)·x₀, so the sampler-consistent velocity target
+is  v* = dx/dt = ε − x₀  (noise minus data).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EchoDiTConfig
+from ..models import dit
+from ..parallel import mesh as pmesh
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def flow_matching_loss(
+    params: dict,
+    cfg: EchoDiTConfig,
+    batch: dict,
+    rng: jax.Array,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """MSE between predicted and target velocity.
+
+    batch = {
+      'latents':        (B, S, 80) f32 clean DAC-PCA latents,
+      'text_ids':       (B, T) i32,
+      'text_mask':      (B, T) bool,
+      'speaker_latent': (B, Sp, 80) f32,
+      'speaker_mask':   (B, Sp) bool,
+    }
+    """
+    x0 = batch["latents"].astype(jnp.float32)
+    b = x0.shape[0]
+    k_t, k_eps = jax.random.split(rng)
+    t = jax.random.uniform(k_t, (b,), dtype=jnp.float32)
+    eps = jax.random.normal(k_eps, x0.shape, dtype=jnp.float32)
+    x_t = t[:, None, None] * eps + (1.0 - t[:, None, None]) * x0
+    v_target = eps - x0
+
+    kv_text = dit.get_kv_cache_text(
+        params, cfg, batch["text_ids"], batch["text_mask"])
+    kv_speaker = dit.get_kv_cache_speaker(
+        params, cfg, batch["speaker_latent"].astype(dtype))
+    v_pred = dit.dit_forward(
+        params, cfg, x_t.astype(dtype), t.astype(dtype),
+        batch["text_mask"], batch["speaker_mask"], kv_text, kv_speaker)
+    return jnp.mean(jnp.square(v_pred - v_target))
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01,
+                   grad_clip: float = 1.0) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(lr, b1=0.9, b2=0.95, weight_decay=weight_decay),
+    )
+
+
+def create_train_state(params: dict, tx: optax.GradientTransformation,
+                       mesh: Mesh, blockwise: bool = True) -> TrainState:
+    """Place params on the mesh with TP shardings, then init AdamW moments —
+    `zeros_like` on sharded params yields identically-sharded moments."""
+    params = pmesh.shard_params(params, mesh, blockwise)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(cfg: EchoDiTConfig, tx: optax.GradientTransformation,
+                    mesh: Mesh, dtype=jnp.bfloat16):
+    """Build the jitted sharded train step.
+
+    Parameters and Adam moments carry TP shardings (from create_train_state),
+    the batch is data-parallel over the mesh's `data` axis; GSPMD inserts the
+    gradient all-reduce over `data` and the per-layer TP collectives over
+    `model`.
+    """
+    batch_sh = {
+        "latents": NamedSharding(mesh, P(pmesh.DATA_AXIS, None, None)),
+        "text_ids": NamedSharding(mesh, P(pmesh.DATA_AXIS, None)),
+        "text_mask": NamedSharding(mesh, P(pmesh.DATA_AXIS, None)),
+        "speaker_latent": NamedSharding(mesh, P(pmesh.DATA_AXIS, None, None)),
+        "speaker_mask": NamedSharding(mesh, P(pmesh.DATA_AXIS, None)),
+    }
+
+    @jax.jit
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        loss, grads = jax.value_and_grad(flow_matching_loss)(
+            state.params, cfg, batch, rng, dtype)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_opt, state.step + 1), loss
+
+    def place_batch(batch: dict) -> dict:
+        return {k: jax.device_put(v, batch_sh[k]) for k, v in batch.items()}
+
+    return train_step, place_batch

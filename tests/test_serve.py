@@ -1,0 +1,151 @@
+"""Serving layer: request contract, validation, health check, chunk seeds.
+
+Mirrors the reference worker behavior (reference: handler.py:609-816) on
+tiny models with random weights.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from echo_tts_tpu.config import tiny_dac_config, tiny_dit_config
+from echo_tts_tpu.models.dac.init import init_dac_params, init_pca_params
+from echo_tts_tpu.models.dit import init_dit_params
+from echo_tts_tpu.pipeline.pipeline import EchoModels
+import importlib
+
+h = importlib.import_module("echo_tts_tpu.serve.handler")
+from echo_tts_tpu.serve.config import load_config
+from echo_tts_tpu.pipeline import audio_io
+
+
+@pytest.fixture(scope="module")
+def models():
+    dit_cfg = tiny_dit_config()
+    dac_cfg = tiny_dac_config()
+    k = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(k, 3)
+    return EchoModels(
+        dit_params=init_dit_params(k1, dit_cfg, dtype=jnp.float32),
+        dit_cfg=dit_cfg,
+        dac_params=init_dac_params(k2, dac_cfg, dtype=jnp.float32),
+        dac_cfg=dac_cfg,
+        pca=init_pca_params(k3, dit_cfg.latent_size, dac_cfg.latent_dim),
+        dtype=jnp.float32)
+
+
+@pytest.fixture
+def cfg(tmp_path):
+    voices = tmp_path / "voices"
+    voices.mkdir()
+    return load_config({
+        "AUDIO_VOICES_DIR": str(voices),
+        "OUTPUT_AUDIO_DIR": str(tmp_path / "out"),
+        "HF_TOKEN": "test",
+    })
+
+
+def _fast_params():
+    # tiny sampler params so synthesis is quick on CPU
+    return {"num_steps": 2, "sequence_length": 8}
+
+
+def test_build_sample_fn_rejects_unknown():
+    with pytest.raises(ValueError, match="unknown sampler parameters"):
+        h.build_sample_fn({"nope": 1})
+
+
+def test_synthesize_basic(models, cfg):
+    out = h.synthesize(
+        {"text": "Hello world.", "parameters": _fast_params(), "seed": 5},
+        cfg=cfg, models=models)
+    assert out["status"] == "success"
+    assert os.path.isfile(out["local_path"])
+    md = out["metadata"]
+    assert md["sample_rate"] == 44100
+    assert md["seed"] == 5
+    assert md["num_chunks"] == 1
+    audio, sr = audio_io.read_wav(out["local_path"])
+    assert np.isfinite(audio).all()
+
+
+def test_synthesize_chunk_seed_progression(models, cfg, monkeypatch):
+    """Per-chunk seeds advance seed + idx*1000 (reference: handler.py:749)."""
+    seeds = []
+    hmod = h
+    real = hmod.sample_pipeline
+
+    def spy(models_, fn, chunk, spk, rng_seed, **kw):
+        seeds.append(rng_seed)
+        return real(models_, fn, chunk, spk, rng_seed, **kw)
+
+    monkeypatch.setattr(hmod, "sample_pipeline", spy)
+    long_text = "One sentence here. " * 10
+    out = h.synthesize(
+        {"text": long_text, "parameters": _fast_params(), "seed": 7,
+         "max_chars_per_chunk": 60, "boundary_mode": "crossfade"},
+        cfg=cfg, models=models)
+    assert out["status"] == "success"
+    assert len(seeds) >= 2
+    assert seeds == [7 + i * 1000 for i in range(len(seeds))]
+
+
+def test_text_validation(models, cfg):
+    with pytest.raises(ValueError, match="required"):
+        h.synthesize({"parameters": _fast_params()}, cfg=cfg, models=models)
+    with pytest.raises(ValueError, match="too long"):
+        h.synthesize({"text": "x" * 4001}, cfg=cfg, models=models)
+
+
+def test_voice_path_traversal_rejected(models, cfg):
+    for bad in ("../../etc/passwd", "/abs/path.wav", "nested/voice.wav"):
+        with pytest.raises(ValueError, match="path components"):
+            h.synthesize({"text": "hi", "speaker_voice": bad,
+                          "parameters": _fast_params()},
+                         cfg=cfg, models=models)
+    with pytest.raises(ValueError, match="extension"):
+        h.synthesize({"text": "hi", "speaker_voice": "voice.txt",
+                      "parameters": _fast_params()},
+                     cfg=cfg, models=models)
+
+
+def test_voice_cloning_from_file(models, cfg):
+    voice_path = os.path.join(cfg.voices_dir, "test_voice.wav")
+    rng = np.random.default_rng(0)
+    wav = np.tanh(rng.standard_normal((1, 2048))).astype(np.float32)
+    audio_io.write_wav(voice_path, wav, 44100)
+    out = h.synthesize(
+        {"text": "Cloned voice.", "speaker_voice": "test_voice.wav",
+         "parameters": _fast_params()},
+        cfg=cfg, models=models)
+    assert out["status"] == "success"
+    assert out["metadata"]["speaker_voice"] == "test_voice.wav"
+
+
+def test_handler_error_envelope(cfg):
+    out = h.handler({"input": {}})
+    assert set(out) == {"error", "error_type", "traceback"}
+    assert out["error_type"] == "ValueError"
+
+
+def test_handler_health_check(cfg, monkeypatch):
+    monkeypatch.setenv("AUDIO_VOICES_DIR", cfg.voices_dir)
+    monkeypatch.setenv("OUTPUT_AUDIO_DIR", cfg.output_dir)
+    monkeypatch.setenv("HF_TOKEN", "test")
+    out = h.handler({"input": {"action": "health_check"}})
+    assert out["status"] in ("healthy", "degraded")
+    assert "device" in out and "voices_available" in out
+    assert json.dumps(out)  # serializable
+
+
+def test_boundary_mode_validation(models, cfg):
+    with pytest.raises(ValueError, match="boundary_mode"):
+        h.synthesize({"text": "One sentence here. " * 10,
+                      "parameters": _fast_params(),
+                      "max_chars_per_chunk": 60,
+                      "boundary_mode": "bogus"},
+                     cfg=cfg, models=models)
