@@ -24,6 +24,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 SEQ = 640
 TEXT_LEN = 768
@@ -76,15 +77,15 @@ def build():
 
 def main():
     gen, args = build()
-    # compile + warmup
-    out = gen(*args)
-    out.block_until_ready()
+    # compile + warmup; np.asarray forces a device->host transfer, which is
+    # the only reliable execution barrier on the experimental axon platform
+    # (block_until_ready alone has been observed returning early there).
+    np.asarray(gen(*args))
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = gen(*args)
-        out.block_until_ready()
+        np.asarray(gen(*args))
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
     rtf = AUDIO_SECONDS / elapsed
