@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import (AE_DOWNSAMPLE_FACTOR, DACConfig, EchoDiTConfig,
+from ..config import (DACConfig, EchoDiTConfig,
                       MAX_SPEAKER_LATENT_LENGTH, MAX_TEXT_LENGTH)
 from ..models.dac import dac as jdac
 from . import dsp
@@ -68,16 +68,22 @@ def get_speaker_latent_and_mask(
     models: EchoModels,
     audio: np.ndarray,  # (1, length) float32
     max_speaker_latent_length: int = MAX_SPEAKER_LATENT_LENGTH,
-    audio_chunk_size: int = 640 * AE_DOWNSAMPLE_FACTOR,
+    audio_chunk_size: Optional[int] = None,
     pad_to_max: bool = False,
     divis_by_patch_size: Optional[int] = 4,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Chunked AE-encode of the speaker reference
     (reference: inference.py:239-283): fixed ~30 s chunks, each zero-padded
     to the full chunk (so every encode has the same static shape), then
-    concatenated and cropped/padded."""
+    concatenated and cropped/padded.  The samples-per-latent factor comes
+    from the codec config (2048 == frame_length for the published build,
+    inference.py:251 + autoencoder.py:1044); chunks default to 640 latents
+    of audio (~30 s)."""
     assert audio.ndim == 2 and audio.shape[0] == 1
-    max_audio_len = max_speaker_latent_length * AE_DOWNSAMPLE_FACTOR
+    spl = models.dac_cfg.frame_length  # samples per latent
+    if audio_chunk_size is None:
+        audio_chunk_size = 640 * spl
+    max_audio_len = max_speaker_latent_length * spl
     audio = np.asarray(audio, dtype=np.float32)[:, :max_audio_len]
 
     latent_arr = []
@@ -89,7 +95,7 @@ def get_speaker_latent_and_mask(
         latent_arr.append(np.asarray(latent))
 
     speaker_latent = np.concatenate(latent_arr, axis=1)
-    actual = audio.shape[1] // AE_DOWNSAMPLE_FACTOR
+    actual = audio.shape[1] // spl
     speaker_mask = (np.arange(speaker_latent.shape[1]) < actual)[None, :]
 
     if pad_to_max and speaker_latent.shape[1] < max_speaker_latent_length:
@@ -148,7 +154,8 @@ def sample_pipeline(
 
     audio_out = np.asarray(ae_decode(models, latent_out))
     audio_out = dsp.crop_audio_to_flattening_point(
-        audio_out, np.asarray(latent_out[0]))
+        audio_out, np.asarray(latent_out[0]),
+        samples_per_latent=models.dac_cfg.frame_length)
     return audio_out, normalized[0]
 
 
