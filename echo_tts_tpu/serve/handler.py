@@ -44,10 +44,16 @@ SAMPLE_RATE = 44100
 SEED_STRIDE = 1000          # reference: handler.py:749
 
 
-def build_sample_fn(parameters: Optional[Dict] = None):
+def build_sample_fn(parameters: Optional[Dict] = None,
+                    preset: Optional[str] = None):
     """functools.partial-equivalent over the Euler sampler with request
-    parameters + defaults (reference: handler.py:426-443)."""
+    parameters + defaults (reference: handler.py:426-443); an optional named
+    preset (serve/sampler_presets.json) supplies a base that explicit
+    parameters override."""
     p = dict(SAMPLER_DEFAULTS)
+    if preset:
+        from .presets import get_preset
+        p.update(get_preset(preset))
     unknown = set(parameters or ()) - set(p)
     if unknown:
         raise ValueError(f"unknown sampler parameters: {sorted(unknown)}")
@@ -61,6 +67,10 @@ def build_sample_fn(parameters: Optional[Dict] = None):
             rng_key=jax.random.PRNGKey(rng_seed), **p)
 
     return sample_fn, p
+
+
+def models_frame_length(models: EchoModels) -> int:
+    return models.dac_cfg.frame_length
 
 
 def _resolve_voice(cfg: ServeConfig, speaker_voice: str) -> str:
@@ -110,17 +120,23 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
             f"text too long: {len(text)} > {MAX_TEXT_CHARS} chars")
 
     sample_fn, sample_params = build_sample_fn(
-        job_input.get("parameters"))
+        job_input.get("parameters"), preset=job_input.get("preset"))
 
     if models is None:
         models = models_mod.load_models(
             cfg.model_dir, allow_random=bool(job_input.get("_allow_random")))
 
     speaker_audio = None
+    speaker_bucket = None
     voice_name = job_input.get("speaker_voice")
     if voice_name:
         path = _resolve_voice(cfg, voice_name)
         speaker_audio = audio_io.load_audio(path)
+        # Static-shape bucketing so one voice length compiles once
+        # (reference: gradio_app.py:128-155,229-247)
+        from .presets import pick_speaker_bucket
+        n_latents = speaker_audio.shape[-1] // models_frame_length(models)
+        speaker_bucket = pick_speaker_bucket(n_latents)
 
     from ..pipeline.text import chunk_text_for_audio
 
@@ -137,7 +153,8 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
     for idx, chunk in enumerate(chunks):
         chunk_audio, _ = sample_pipeline(
             models, sample_fn, chunk, speaker_audio,
-            rng_seed=seed + idx * SEED_STRIDE)
+            rng_seed=seed + idx * SEED_STRIDE,
+            pad_to_max_speaker_latent_length=speaker_bucket)
         audio_chunks.append(np.asarray(chunk_audio))
         log.info("[%s] chunk %d/%d done (%.1fs audio)", request_id, idx + 1,
                  len(chunks), chunk_audio.shape[-1] / SAMPLE_RATE)

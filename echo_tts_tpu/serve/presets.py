@@ -1,0 +1,51 @@
+"""Sampler presets + static-shape bucketing.
+
+Presets mirror the reference's sampler_presets.json (6 presets varying CFG
+scales, truncation and temporal rescale; reference: sampler_presets.json:1-62,
+loaded at gradio_app.py:431-451).  Values here are proper JSON numbers
+instead of the reference's strings.
+
+Buckets are the static-shape discipline the reference uses to keep
+torch.compile shapes stable (reference: gradio_app.py:128-155,229-247) —
+exactly what XLA needs: text {768}, speaker {640, 2816, 6400} latents,
+picked with find_min_bucket_gte.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Dict, Optional
+
+from ..pipeline.text import find_min_bucket_gte
+
+PRESETS_PATH = os.path.join(os.path.dirname(__file__),
+                            "sampler_presets.json")
+
+TEXT_BUCKETS = "768"
+SPEAKER_BUCKETS = "640, 2816, 6400"
+
+
+@functools.lru_cache(maxsize=1)
+def load_presets(path: Optional[str] = None) -> Dict[str, Dict]:
+    with open(path or PRESETS_PATH) as f:
+        return json.load(f)
+
+
+def get_preset(name: str) -> Dict:
+    presets = load_presets()
+    if name not in presets:
+        raise KeyError(
+            f"unknown sampler preset {name!r}; available: "
+            f"{sorted(presets)}")
+    return dict(presets[name])
+
+
+def pick_text_bucket(actual_length: int,
+                     buckets: str = TEXT_BUCKETS) -> int:
+    return find_min_bucket_gte(buckets, actual_length)
+
+
+def pick_speaker_bucket(actual_latents: int,
+                        buckets: str = SPEAKER_BUCKETS) -> int:
+    return find_min_bucket_gte(buckets, actual_latents)

@@ -1,0 +1,101 @@
+"""Fused joint-attention Pallas kernel vs the XLA einsum path.
+
+Runs the kernel in interpreter mode on CPU (the standard way to test
+Mosaic kernels off-TPU); on-device equivalence is covered by the same
+code path compiling on the real chip (bench.py).
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from echo_tts_tpu.config import tiny_dit_config
+from echo_tts_tpu.models import dit
+from echo_tts_tpu.ops.pallas.joint_attention import (fits_vmem,
+                                                     fused_joint_attention)
+
+CFG_X = dataclasses.replace(tiny_dit_config(), attention_impl="xla")
+CFG_P = dataclasses.replace(tiny_dit_config(), attention_impl="pallas")
+
+
+@pytest.fixture(scope="module")
+def params():
+    return dit.init_dit_params(jax.random.key(0), CFG_X, dtype=jnp.float32)
+
+
+def _inputs(b=2, g=3, s=16, tt=24, ts=16):
+    ks = jax.random.split(jax.random.key(1), 4)
+    rng = np.random.default_rng(0)
+    x = jax.random.normal(ks[0], (g * b, s, 80))
+    t = jax.random.uniform(ks[1], (g * b,))
+    tm = jnp.asarray(rng.random((g * b, tt)) > 0.3)
+    sm = jnp.asarray(rng.random((g * b, ts)) > 0.3)
+    ids = jax.random.randint(ks[2], (b, tt), 0, 256)
+    spk = jax.random.normal(ks[3], (b, ts, 80))
+    return x, t, tm, sm, ids, spk
+
+
+def test_kernel_matches_dense_reference():
+    """Raw kernel vs a dense softmax over concatenated KV, including the
+    G-broadcast (q batch GB over kv batch B) and non-128-multiple T."""
+    rng = np.random.default_rng(2)
+    gb, b, s, t, h, dh = 6, 2, 16, 72, 2, 128
+
+    def arr(*sh):
+        return jnp.asarray(rng.standard_normal(sh).astype(np.float32))
+
+    q, ks_, vs = arr(gb, s, h, dh), arr(gb, s, h, dh), arr(gb, s, h, dh)
+    kt, vt = arr(b, t, h, dh), arr(b, t, h, dh)
+    mask = jnp.asarray(rng.random((gb, t)) > 0.3).at[:, 0].set(True)
+    scale = dh ** -0.5
+
+    out = fused_joint_attention(q, ks_, vs, kt, vt, mask, sm_scale=scale,
+                                interpret=True)
+
+    ktb = jnp.tile(kt, (gb // b, 1, 1, 1))
+    vtb = jnp.tile(vt, (gb // b, 1, 1, 1))
+    k_all = jnp.concatenate([ks_, ktb], axis=1)
+    v_all = jnp.concatenate([vs, vtb], axis=1)
+    m_all = jnp.concatenate([jnp.ones((gb, s), bool), mask], axis=1)
+    logits = jnp.einsum("bshd,bthd->bhst", q, k_all,
+                        preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(m_all[:, None, None, :], logits, -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1)
+    ref = jnp.einsum("bhst,bthd->bshd", w.astype(v_all.dtype), v_all)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_dit_forward_pallas_matches_xla(params):
+    x, t, tm, sm, ids, spk = _inputs()
+    kvt = dit.get_kv_cache_text(params, CFG_X, ids, tm[:2])
+    kvs = dit.get_kv_cache_speaker(params, CFG_X, spk)
+    out_x = dit.dit_forward(params, CFG_X, x, t, tm, sm, kvt, kvs)
+    out_p = dit.dit_forward(params, CFG_P, x, t, tm, sm, kvt, kvs)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_p),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_dit_forward_pallas_with_latent_and_speaker_scale(params):
+    x, t, tm, sm, ids, spk = _inputs()
+    pre = jax.random.normal(jax.random.key(9), (2, 8, 80))
+    kvt = dit.get_kv_cache_text(params, CFG_X, ids, tm[:2])
+    kvs = dit.get_kv_cache_speaker(params, CFG_X, spk)
+    kvl = dit.get_kv_cache_latent(params, CFG_X, pre)
+    lm = jnp.asarray(dit.latent_prefix_mask(6, 2, 5, 4))
+    sc = jnp.full((CFG_X.num_layers,), 1.3, jnp.float32)
+    kw = dict(kv_latent=kvl, latent_mask=lm, speaker_scale_by_layer=sc,
+              start_pos=5)
+    out_x = dit.dit_forward(params, CFG_X, x, t, tm, sm, kvt, kvs, **kw)
+    out_p = dit.dit_forward(params, CFG_P, x, t, tm, sm, kvt, kvs, **kw)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_p),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fits_vmem_guard():
+    assert fits_vmem(640, 768 + 1600, 128)        # published worst case
+    assert not fits_vmem(4096, 100_000, 128)      # absurd shapes fall back
