@@ -20,11 +20,17 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 SEQ = 640
 TEXT_LEN = 768
@@ -48,7 +54,9 @@ def build():
     key = jax.random.PRNGKey(0)
     k_dit, k_dac, k_pca = jax.random.split(key, 3)
     params = dit.init_dit_params(k_dit, cfg, dtype=jnp.bfloat16)
-    dac_params = init_dac_params(k_dac, dac_cfg, dtype=jnp.float32)
+    # bf16 codec matches the reference's production load
+    # (handler.py:345,381: bf16 on accelerators)
+    dac_params = init_dac_params(k_dac, dac_cfg, dtype=jnp.bfloat16)
     pca = init_pca_params(k_pca, cfg.latent_size, dac_cfg.latent_dim)
 
     def generate(params, dac_params, pca, text_ids, text_mask,
@@ -59,7 +67,8 @@ def build():
             cfg_min_t=0.5, cfg_max_t=1.0, sequence_length=SEQ,
             rng_key=rng)
         z_q = jdac.pca_unwhiten(latents, pca)
-        audio = jdac.decode_zq(dac_params, dac_cfg, z_q.astype(jnp.float32))
+        audio = jdac.decode_zq(dac_params, dac_cfg,
+                               z_q.astype(jnp.bfloat16))
         return audio
 
     gen = jax.jit(generate)

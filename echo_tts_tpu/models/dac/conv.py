@@ -27,6 +27,15 @@ def causal_conv1d(x: jnp.ndarray, kernel: jnp.ndarray,
     x: (B, L, C_in); kernel: (K, C_in // groups, C_out).
     Left-pad (k_eff - stride), right-pad so strides cover the length:
     output length = ceil(L / stride).
+
+    XLA's TPU conv lowering runs far below MXU peak for these narrow-channel
+    1-D shapes (measured: the S1-DAC decoder at 365 ms vs ~30 ms roofline),
+    so the hot cases lower to explicit MXU matmuls instead:
+      * stride-1 dense conv  -> sum over K of shifted-slice matmuls
+      * depthwise (groups=C) -> sum over K of shifted elementwise multiplies
+      * strided conv         -> reshape L into (L/s, s*C) then one matmul
+                                per tap group (K multiple of s) or the
+                                general conv otherwise
     """
     k = kernel.shape[0]
     k_eff = (k - 1) * dilation + 1
@@ -36,10 +45,36 @@ def causal_conv1d(x: jnp.ndarray, kernel: jnp.ndarray,
     # padding_total = k_eff - stride reduces to ceil(L/s)*s - L.
     extra = math.ceil(length / stride) * stride - length
     x = jnp.pad(x, ((0, 0), (pad_left, extra), (0, 0)))
-    out = jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(stride,), padding="VALID",
-        rhs_dilation=(dilation,), dimension_numbers=_DN,
-        feature_group_count=groups)
+    out_len = (length + extra) // stride
+
+    if groups == 1 and stride == 1:
+        # y[t] = sum_k x_pad[t + k*d] @ W[k]
+        out = jnp.zeros((x.shape[0], out_len, kernel.shape[2]), x.dtype)
+        for kk in range(k):
+            out = out + x[:, kk * dilation: kk * dilation + out_len] @ kernel[kk]
+    elif groups == x.shape[-1] and kernel.shape[1] == 1 and stride == 1:
+        # depthwise: y[t, c] = sum_k x_pad[t + k*d, c] * W[k, 0, c]
+        out = jnp.zeros((x.shape[0], out_len, kernel.shape[2]), x.dtype)
+        for kk in range(k):
+            out = out + (x[:, kk * dilation: kk * dilation + out_len]
+                         * kernel[kk, 0])
+    elif groups == 1 and dilation == 1 and k % stride == 0:
+        # strided: fold stride into channels; y[i] touches x[i*s - pad_left
+        # + 0 .. K); with left pad the window is x_pad[i*s : i*s + K].
+        # Split taps into K/s groups of s: tap group g covers
+        # x_pad[(i+g)*s : (i+g+1)*s] -> reshape to (L/s, s*C) @ W_g
+        b, lp, c = x.shape
+        n = lp // stride
+        xs = x.reshape(b, n, stride * c)
+        w = kernel.reshape(k // stride, stride * c, kernel.shape[2])
+        out = jnp.zeros((b, out_len, kernel.shape[2]), x.dtype)
+        for g in range(k // stride):
+            out = out + xs[:, g: g + out_len] @ w[g]
+    else:
+        out = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(stride,), padding="VALID",
+            rhs_dilation=(dilation,), dimension_numbers=_DN,
+            feature_group_count=groups)
     if bias is not None:
         out = out + bias
     return out
@@ -51,18 +86,34 @@ def causal_conv_transpose1d(x: jnp.ndarray, kernel: jnp.ndarray,
     """CausalTransConvNet.forward (reference: autoencoder.py:310-316).
 
     kernel: (K, C_out, C_in) — `transpose_kernel=True` layout matching
-    torch ConvTranspose1d.  Full-size transpose output then unpad
-    (k - stride) from the RIGHT; output length = L * stride.
+    torch ConvTranspose1d.  Output length = L * stride (the VALID transpose
+    output right-unpadded by K - stride).
+
+    Lowered to matmuls: output position n = i*s + j (j < s) receives
+    x[i - g] @ W[j + g*s] for each tap group g < K/s, so the whole op is
+    K/s matmuls of (L, C_in) @ (C_in, s*C_out) with shifted inputs.
     """
     k = kernel.shape[0]
-    out = jax.lax.conv_transpose(
-        x, kernel, strides=(stride,), padding="VALID",
-        dimension_numbers=_DN, transpose_kernel=True)
+    b, length, c_in = x.shape
+    c_out = kernel.shape[1]
+    if k % stride == 0:
+        # w_g: (C_in, s*C_out) for tap group g (taps g*s + j, j < s)
+        out = jnp.zeros((b, length, stride * c_out), x.dtype)
+        for g in range(k // stride):
+            w_g = (kernel[g * stride:(g + 1) * stride]  # (s, C_out, C_in)
+                   .transpose(2, 0, 1).reshape(c_in, stride * c_out))
+            x_g = x if g == 0 else jnp.pad(x, ((0, 0), (g, 0), (0, 0)))[:, :length]
+            out = out + x_g @ w_g
+        out = out.reshape(b, length * stride, c_out)
+    else:
+        out = jax.lax.conv_transpose(
+            x, kernel, strides=(stride,), padding="VALID",
+            dimension_numbers=_DN, transpose_kernel=True)
+        pad = k - stride
+        if pad > 0:
+            out = out[:, :-pad]
     if bias is not None:
         out = out + bias
-    pad = k - stride
-    if pad > 0:
-        out = out[:, :-pad]
     return out
 
 

@@ -41,12 +41,19 @@ class EchoModels:
 SampleFn = Callable[..., jnp.ndarray]
 
 
+def _dac_dtype(models: EchoModels):
+    """Codec compute dtype = its parameter dtype (the reference loads the
+    fish AE in bf16 on accelerators, handler.py:345,381; fp32 on CPU)."""
+    return models.dac_params["encoder"]["conv_in"]["kernel"].dtype
+
+
 def ae_encode(models: EchoModels, audio: jnp.ndarray) -> jnp.ndarray:
     """(B, L) or (B, L, 1) waveform -> (B, T, 80) whitened latents
     (reference: inference.py:218-224)."""
     if audio.ndim == 2:
         audio = audio[..., None]
-    z_q = jdac.encode_zq(models.dac_params, models.dac_cfg, audio)
+    z_q = jdac.encode_zq(models.dac_params, models.dac_cfg,
+                         audio.astype(_dac_dtype(models)))
     return jdac.pca_whiten(z_q.astype(jnp.float32), models.pca)
 
 
@@ -55,7 +62,7 @@ def ae_decode(models: EchoModels, latents: jnp.ndarray) -> jnp.ndarray:
     (reference: inference.py:227-229)."""
     z_q = jdac.pca_unwhiten(latents, models.pca)
     audio = jdac.decode_zq(models.dac_params, models.dac_cfg,
-                           z_q.astype(jnp.float32))
+                           z_q.astype(_dac_dtype(models)))
     return audio[..., 0].astype(jnp.float32)
 
 

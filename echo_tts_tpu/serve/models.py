@@ -47,6 +47,8 @@ def _load_from_dir(model_dir: str, dtype) -> EchoModels:
     t0 = time.time()
     dac_params = load_dac_from_safetensors(
         os.path.join(model_dir, DAC_WEIGHTS), dac_cfg)
+    dac_dtype = _dac_serving_dtype()
+    dac_params = jax.tree.map(lambda a: a.astype(dac_dtype), dac_params)
     log.info("loaded S1-DAC weights in %.1fs", time.time() - t0)
 
     with safe_open(os.path.join(model_dir, PCA_WEIGHTS),
@@ -60,6 +62,12 @@ def _load_from_dir(model_dir: str, dtype) -> EchoModels:
                       dtype=dtype)
 
 
+def _dac_serving_dtype():
+    """bf16 codec on accelerators, fp32 on CPU — the reference's production
+    dtype selection (handler.py:345,381)."""
+    return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+
+
 def _random_models(dtype) -> EchoModels:
     from ..models.dac.init import init_dac_params, init_pca_params
     from ..models.dit import init_dit_params
@@ -71,7 +79,7 @@ def _random_models(dtype) -> EchoModels:
     return EchoModels(
         dit_params=init_dit_params(k1, dit_cfg, dtype=dtype),
         dit_cfg=dit_cfg,
-        dac_params=init_dac_params(k2, dac_cfg, dtype=jnp.float32),
+        dac_params=init_dac_params(k2, dac_cfg, dtype=_dac_serving_dtype()),
         dac_cfg=dac_cfg,
         pca=init_pca_params(k3, dit_cfg.latent_size, dac_cfg.latent_dim),
         dtype=dtype)
