@@ -1,0 +1,135 @@
+"""Batched multi-request execution.
+
+The reference serves one request per worker (share-nothing RunPod workers,
+SURVEY.md §2e); on TPU the right shape is micro-batching: group compatible
+requests (same sampler parameters, same speaker bucket), stack them along
+the batch axis, and run ONE sampler + decode pass — the CFG×G factor and
+the batch fold into a single (G·B) DiT forward, amortizing weight reads
+over B requests.
+
+Per-request seed semantics are preserved: request i's initial noise is
+jax.random.normal(PRNGKey(seed_i), (S, 80)) — identical to what the
+single-request path draws, so a request returns the same audio whether it
+was batched or not.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MAX_TEXT_LENGTH, SAMPLER_DEFAULTS
+from ..pipeline import dsp
+from ..pipeline.pipeline import (EchoModels, ae_decode,
+                                 get_speaker_latent_and_mask)
+from ..pipeline.text import get_text_input_ids_and_mask
+from ..sampler.euler import sample_euler_cfg_independent_guidances
+
+
+@dataclasses.dataclass
+class BatchRequest:
+    text: str
+    seed: int
+    speaker_audio: Optional[np.ndarray] = None  # (1, samples) float32
+    request_id: Optional[str] = None
+
+
+@dataclasses.dataclass
+class BatchResult:
+    audio: np.ndarray        # (1, samples) float32, flattening-cropped
+    normalized_text: str
+    request_id: Optional[str]
+
+
+def _group_key(params: Dict) -> Tuple:
+    return tuple(sorted(params.items()))
+
+
+def group_compatible(requests: Sequence[Tuple[BatchRequest, Dict]],
+                     max_batch: int) -> List[List[int]]:
+    """Indices grouped by identical sampler params, split to max_batch."""
+    by_key: Dict[Tuple, List[int]] = {}
+    for i, (_, params) in enumerate(requests):
+        by_key.setdefault(_group_key(params), []).append(i)
+    groups: List[List[int]] = []
+    for idxs in by_key.values():
+        for j in range(0, len(idxs), max_batch):
+            groups.append(idxs[j:j + max_batch])
+    return groups
+
+
+def run_batch(
+    models: EchoModels,
+    requests: Sequence[BatchRequest],
+    sampler_params: Optional[Dict] = None,
+    speaker_bucket: Optional[int] = None,
+) -> List[BatchResult]:
+    """Execute one homogeneous batch (same sampler params for all).
+
+    Speaker latents are padded to `speaker_bucket` (default: the max actual
+    length in the batch, rounded up to the patch size) so mixed-length
+    references batch together; masks carry the true lengths.
+    """
+    if not requests:
+        return []
+    p = dict(SAMPLER_DEFAULTS)
+    p.update(sampler_params or {})
+    seq_len = p.pop("sequence_length")
+    b = len(requests)
+    ps = models.dit_cfg.speaker_patch_size
+
+    text_ids, text_mask, normalized = get_text_input_ids_and_mask(
+        [r.text for r in requests], max_length=MAX_TEXT_LENGTH,
+        return_normalized_text=True)
+
+    # Speaker latents -> common bucket
+    latents, masks = [], []
+    for r in requests:
+        if r.speaker_audio is None:
+            latents.append(np.zeros((1, ps, models.dit_cfg.latent_size),
+                                    np.float32))
+            masks.append(np.zeros((1, ps), bool))
+        else:
+            sl, sm = get_speaker_latent_and_mask(models, r.speaker_audio)
+            latents.append(sl)
+            masks.append(sm)
+    max_len = max(sl.shape[1] for sl in latents)
+    bucket = speaker_bucket or -(-max_len // ps) * ps
+    if any(sl.shape[1] > bucket for sl in latents):
+        raise ValueError(f"speaker_bucket {bucket} smaller than a "
+                         "reference in the batch")
+    spk_lat = np.zeros((b, bucket, models.dit_cfg.latent_size), np.float32)
+    spk_mask = np.zeros((b, bucket), bool)
+    for i, (sl, sm) in enumerate(zip(latents, masks)):
+        spk_lat[i, :sl.shape[1]] = sl[0]
+        spk_mask[i, :sm.shape[1]] = sm[0]
+
+    # Per-request seed semantics: draw exactly the (1, S, 80) array the
+    # single-request sampler would draw for this seed, then stack.
+    noise = np.concatenate([
+        np.asarray(jax.random.normal(
+            jax.random.PRNGKey(r.seed),
+            (1, seq_len, models.dit_cfg.latent_size), jnp.float32))
+        for r in requests], axis=0)
+
+    latent_out = sample_euler_cfg_independent_guidances(
+        models.dit_params, models.dit_cfg,
+        jnp.asarray(spk_lat), jnp.asarray(spk_mask),
+        jnp.asarray(text_ids), jnp.asarray(text_mask),
+        sequence_length=seq_len, dtype=models.dtype,
+        initial_noise=jnp.asarray(noise), **p)
+
+    audio = np.asarray(ae_decode(models, latent_out))
+    spl = models.dac_cfg.frame_length
+    results = []
+    for i, r in enumerate(requests):
+        cropped = dsp.crop_audio_to_flattening_point(
+            audio[i:i + 1], np.asarray(latent_out[i]),
+            samples_per_latent=spl)
+        results.append(BatchResult(audio=cropped,
+                                   normalized_text=normalized[i],
+                                   request_id=r.request_id))
+    return results
