@@ -33,7 +33,7 @@ from ..models import dit
 from .euler import build_step_plan, _segments
 
 
-def sample_blockwise_euler_cfg_independent_guidances(
+def iter_blockwise_euler_cfg_independent_guidances(
     params: dict,
     cfg: EchoDiTConfig,
     speaker_latent: jnp.ndarray,
@@ -57,8 +57,10 @@ def sample_blockwise_euler_cfg_independent_guidances(
     dtype=jnp.bfloat16,
     initial_noises: Optional[List[jnp.ndarray]] = None,
     rng_key: Optional[jax.Array] = None,
-) -> jnp.ndarray:
-    """Returns latents (B, cont_len + sum(block_sizes), latent) float32."""
+):
+    """Generator over blocks: yields (block_start, block_latents, prefix)
+    after each block, where prefix is the full running latent buffer —
+    the streaming serving layer decodes incrementally from these."""
     batch_size = text_input_ids.shape[0]
     block_sizes = list(block_sizes)
 
@@ -154,6 +156,16 @@ def sample_blockwise_euler_cfg_independent_guidances(
 
         prefix = jax.lax.dynamic_update_slice(
             prefix, x_t, (0, start_pos, 0))
+        yield start_pos, x_t, prefix
         start_pos += block_size
 
+
+def sample_blockwise_euler_cfg_independent_guidances(*args, **kwargs):
+    """Non-streaming wrapper: run all blocks, return the final latents
+    (B, cont_len + sum(block_sizes), latent) float32
+    (reference: inference_blockwise.py:14-123)."""
+    prefix = None
+    for _, _, prefix in iter_blockwise_euler_cfg_independent_guidances(
+            *args, **kwargs):
+        pass
     return prefix
