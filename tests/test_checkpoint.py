@@ -1,0 +1,39 @@
+"""Orbax checkpoint round-trip of the full model bundle."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from echo_tts_tpu.config import tiny_dac_config, tiny_dit_config
+from echo_tts_tpu.models.dac.init import init_dac_params, init_pca_params
+from echo_tts_tpu.models.dit import init_dit_params
+from echo_tts_tpu.pipeline.pipeline import EchoModels
+from echo_tts_tpu.tools.checkpoint import load_checkpoint, save_checkpoint
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    dit_cfg = tiny_dit_config()
+    dac_cfg = tiny_dac_config()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    models = EchoModels(
+        dit_params=init_dit_params(k1, dit_cfg, dtype=jnp.float32),
+        dit_cfg=dit_cfg,
+        dac_params=init_dac_params(k2, dac_cfg, dtype=jnp.float32),
+        dac_cfg=dac_cfg,
+        pca=init_pca_params(k3, dit_cfg.latent_size, dac_cfg.latent_dim),
+        dtype=jnp.float32)
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, models)
+    restored = load_checkpoint(path)
+
+    assert restored.dit_cfg == dit_cfg
+    assert restored.dac_cfg == dac_cfg
+    for a, b in zip(jax.tree.leaves(models.dit_params),
+                    jax.tree.leaves(restored.dit_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(models.dac_params),
+                    jax.tree.leaves(restored.dac_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(models.pca["components"]),
+                                  np.asarray(restored.pca["components"]))
