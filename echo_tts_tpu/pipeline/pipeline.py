@@ -13,6 +13,7 @@ and is normally built with functools.partial over one of the samplers
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, List, Optional, Tuple
 
 import jax
@@ -47,23 +48,40 @@ def _dac_dtype(models: EchoModels):
     return models.dac_params["encoder"]["conv_in"]["kernel"].dtype
 
 
+@functools.lru_cache(maxsize=8)
+def _encode_core(dac_cfg: DACConfig, dtype):
+    """Cached jitted encode so un-jitted callers compile once per shape."""
+    @jax.jit
+    def run(dac_params, pca, audio):
+        z_q = jdac.encode_zq(dac_params, dac_cfg, audio.astype(dtype))
+        return jdac.pca_whiten(z_q.astype(jnp.float32), pca)
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _decode_core(dac_cfg: DACConfig, dtype):
+    @jax.jit
+    def run(dac_params, pca, latents):
+        z_q = jdac.pca_unwhiten(latents, pca)
+        audio = jdac.decode_zq(dac_params, dac_cfg, z_q.astype(dtype))
+        return audio[..., 0].astype(jnp.float32)
+    return run
+
+
 def ae_encode(models: EchoModels, audio: jnp.ndarray) -> jnp.ndarray:
     """(B, L) or (B, L, 1) waveform -> (B, T, 80) whitened latents
     (reference: inference.py:218-224)."""
     if audio.ndim == 2:
         audio = audio[..., None]
-    z_q = jdac.encode_zq(models.dac_params, models.dac_cfg,
-                         audio.astype(_dac_dtype(models)))
-    return jdac.pca_whiten(z_q.astype(jnp.float32), models.pca)
+    return _encode_core(models.dac_cfg, _dac_dtype(models))(
+        models.dac_params, models.pca, audio)
 
 
 def ae_decode(models: EchoModels, latents: jnp.ndarray) -> jnp.ndarray:
     """(B, T, 80) latents -> (B, T*2048) float32 waveform
     (reference: inference.py:227-229)."""
-    z_q = jdac.pca_unwhiten(latents, models.pca)
-    audio = jdac.decode_zq(models.dac_params, models.dac_cfg,
-                           z_q.astype(_dac_dtype(models)))
-    return audio[..., 0].astype(jnp.float32)
+    return _decode_core(models.dac_cfg, _dac_dtype(models))(
+        models.dac_params, models.pca, latents)
 
 
 def ae_reconstruct(models: EchoModels, audio: jnp.ndarray) -> jnp.ndarray:

@@ -19,9 +19,14 @@ Re-implements the reference streaming sampler
   * per-block initial noise is either injected (list, torch parity) or drawn
     from a fold of `rng_key` (production; the torch reference draws blocks
     sequentially from one generator, which JAX reproduces via injection).
+
+Each distinct (config, start_pos, block_size) block program is a cached
+jitted core — streaming callers pay one compile per block position, then
+every stream reuses them.
 """
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence
 
 import jax
@@ -30,7 +35,118 @@ import numpy as np
 
 from ..config import EchoDiTConfig
 from ..models import dit
-from .euler import build_step_plan, _segments
+from .euler import _segments, build_step_plan
+
+
+@functools.lru_cache(maxsize=8)
+def _prefill_core(cfg: EchoDiTConfig, dtype):
+    @jax.jit
+    def run(params, text_input_ids, text_mask, speaker_latent):
+        kv_text = dit.get_kv_cache_text(params, cfg, text_input_ids,
+                                        text_mask)
+        kv_speaker = dit.get_kv_cache_speaker(
+            params, cfg, speaker_latent.astype(dtype))
+        return kv_text, kv_speaker
+    return run
+
+
+@functools.lru_cache(maxsize=256)
+def _block_core(
+    cfg: EchoDiTConfig,
+    start_pos: int,
+    block_size: int,
+    num_steps: int,
+    cfg_scale_text: float,
+    cfg_scale_speaker: float,
+    cfg_min_t: float,
+    cfg_max_t: float,
+    truncation_factor: Optional[float],
+    rescale_k: Optional[float],
+    rescale_sigma: Optional[float],
+    speaker_kv_scale: Optional[float],
+    speaker_kv_max_layers: Optional[int],
+    speaker_kv_min_t: Optional[float],
+    dtype,
+):
+    """Jitted program for one block at a fixed start position."""
+    plan = build_step_plan(num_steps, cfg_min_t, cfg_max_t, rescale_k,
+                           rescale_sigma, speaker_kv_scale,
+                           speaker_kv_min_t)
+    segments = _segments(plan.has_cfg)
+    max_layers = (cfg.num_layers if speaker_kv_max_layers is None
+                  else min(speaker_kv_max_layers, cfg.num_layers))
+    s_text = np.float32(cfg_scale_text)
+    s_spk = np.float32(cfg_scale_speaker)
+
+    @jax.jit
+    def run(params, prefix, noise, kv_text, kv_speaker,
+            text_mask, speaker_mask):
+        batch_size = text_mask.shape[0]
+        n_lat = prefix.shape[1] // cfg.speaker_patch_size
+
+        kv_latent = dit.get_kv_cache_latent(params, cfg,
+                                            prefix.astype(dtype))
+        lat_mask = jnp.asarray(dit.latent_prefix_mask(
+            batch_size, n_lat, start_pos, cfg.speaker_patch_size))
+        lat_mask3 = jnp.concatenate([lat_mask] * 3, axis=0)
+
+        zero_t = jnp.zeros_like(text_mask)
+        zero_s = jnp.zeros_like(speaker_mask)
+        full_text_mask = jnp.concatenate(
+            [text_mask, zero_t, text_mask], axis=0)
+        full_speaker_mask = jnp.concatenate(
+            [speaker_mask, speaker_mask, zero_s], axis=0)
+
+        layer_gate = (jnp.arange(cfg.num_layers) < max_layers)
+
+        def step_scales(spk_scale):
+            return jnp.where(layer_gate, spk_scale, 1.0).astype(jnp.float32)
+
+        x_t = noise.astype(jnp.float32)
+        if truncation_factor is not None:
+            x_t = x_t * np.float32(truncation_factor)
+
+        def cfg_step(x, step):
+            x3 = jnp.concatenate([x, x, x], axis=0).astype(dtype)
+            t3 = jnp.full((3 * batch_size,), step["t"],
+                          jnp.float32).astype(dtype)
+            v = dit.dit_forward(
+                params, cfg, x3, t3, full_text_mask, full_speaker_mask,
+                kv_text, kv_speaker, start_pos=start_pos,
+                kv_latent=kv_latent, latent_mask=lat_mask3,
+                speaker_scale_by_layer=step_scales(step["spk"]))
+            v_c, v_ut, v_us = jnp.split(v, 3, axis=0)
+            v = v_c + s_text * (v_c - v_ut) + s_spk * (v_c - v_us)
+            v = step["c1"] * v + step["c2"] * x
+            return x + v * step["dt"], None
+
+        def plain_step(x, step):
+            t1 = jnp.full((batch_size,), step["t"],
+                          jnp.float32).astype(dtype)
+            v = dit.dit_forward(
+                params, cfg, x.astype(dtype), t1, text_mask, speaker_mask,
+                kv_text, kv_speaker, start_pos=start_pos,
+                kv_latent=kv_latent, latent_mask=lat_mask,
+                speaker_scale_by_layer=step_scales(step["spk"]))
+            v = step["c1"] * v + step["c2"] * x
+            return x + v * step["dt"], None
+
+        for is_cfg, start, stop in segments:
+            xs = {
+                "t": jnp.asarray(plan.t[start:stop]),
+                "dt": jnp.asarray(plan.dt[start:stop]),
+                "spk": jnp.asarray(plan.speaker_scale[start:stop]),
+                "c1": jnp.asarray(plan.rescale_c1[start:stop]),
+                "c2": jnp.asarray(plan.rescale_c2[start:stop]),
+            }
+            x_t, _ = jax.lax.scan(cfg_step if is_cfg else plain_step,
+                                  x_t, xs)
+
+        prefix = jax.lax.dynamic_update_slice(prefix, x_t,
+                                              (0, start_pos, 0))
+        return x_t, prefix
+
+    return run
 
 
 def iter_blockwise_euler_cfg_independent_guidances(
@@ -79,83 +195,31 @@ def iter_blockwise_euler_cfg_independent_guidances(
             f"continuation length {start_pos} + sum(block_sizes) {total} must "
             f"be divisible by speaker_patch_size {cfg.speaker_patch_size}")
 
-    plan = build_step_plan(num_steps, cfg_min_t, cfg_max_t, rescale_k,
-                           rescale_sigma, speaker_kv_scale, speaker_kv_min_t)
-    segments = _segments(plan.has_cfg)
+    dt = jnp.dtype(dtype)
+    kv_text, kv_speaker = _prefill_core(cfg, dt)(
+        params, text_input_ids, text_mask, speaker_latent)
 
-    kv_text = dit.get_kv_cache_text(params, cfg, text_input_ids, text_mask)
-    kv_speaker = dit.get_kv_cache_speaker(
-        params, cfg, speaker_latent.astype(dtype))
-
-    zero_t = jnp.zeros_like(text_mask)
-    zero_s = jnp.zeros_like(speaker_mask)
-    full_text_mask = jnp.concatenate([text_mask, zero_t, text_mask], axis=0)
-    full_speaker_mask = jnp.concatenate(
-        [speaker_mask, speaker_mask, zero_s], axis=0)
-
-    max_layers = (cfg.num_layers if speaker_kv_max_layers is None
-                  else min(speaker_kv_max_layers, cfg.num_layers))
-    layer_gate = (jnp.arange(cfg.num_layers) < max_layers)
-    s_text = np.float32(cfg_scale_text)
-    s_spk = np.float32(cfg_scale_speaker)
-
-    def step_scales(spk_scale):
-        return jnp.where(layer_gate, spk_scale, 1.0).astype(jnp.float32)
-
-    n_lat = prefix.shape[1] // cfg.speaker_patch_size
+    statics = (num_steps, float(cfg_scale_text), float(cfg_scale_speaker),
+               float(cfg_min_t), float(cfg_max_t),
+               None if truncation_factor is None else float(truncation_factor),
+               None if rescale_k is None else float(rescale_k),
+               None if rescale_sigma is None else float(rescale_sigma),
+               None if speaker_kv_scale is None else float(speaker_kv_scale),
+               speaker_kv_max_layers,
+               None if speaker_kv_min_t is None else float(speaker_kv_min_t),
+               dt)
 
     for b_idx, block_size in enumerate(block_sizes):
-        kv_latent = dit.get_kv_cache_latent(params, cfg, prefix.astype(dtype))
-        lat_mask = jnp.asarray(dit.latent_prefix_mask(
-            batch_size, n_lat, start_pos, cfg.speaker_patch_size))
-        lat_mask3 = jnp.concatenate([lat_mask] * 3, axis=0)
-
         if initial_noises is not None:
-            x_t = initial_noises[b_idx].astype(jnp.float32)
+            noise = initial_noises[b_idx]
         else:
-            x_t = jax.random.normal(
+            noise = jax.random.normal(
                 jax.random.fold_in(rng_key, b_idx),
                 (batch_size, block_size, cfg.latent_size), jnp.float32)
-        if truncation_factor is not None:
-            x_t = x_t * np.float32(truncation_factor)
 
-        def cfg_step(x, step):
-            x3 = jnp.concatenate([x, x, x], axis=0).astype(dtype)
-            t3 = jnp.full((3 * batch_size,), step["t"],
-                          jnp.float32).astype(dtype)
-            v = dit.dit_forward(
-                params, cfg, x3, t3, full_text_mask, full_speaker_mask,
-                kv_text, kv_speaker, start_pos=start_pos,
-                kv_latent=kv_latent, latent_mask=lat_mask3,
-                speaker_scale_by_layer=step_scales(step["spk"]))
-            v_c, v_ut, v_us = jnp.split(v, 3, axis=0)
-            v = v_c + s_text * (v_c - v_ut) + s_spk * (v_c - v_us)
-            v = step["c1"] * v + step["c2"] * x
-            return x + v * step["dt"], None
-
-        def plain_step(x, step):
-            t1 = jnp.full((batch_size,), step["t"],
-                          jnp.float32).astype(dtype)
-            v = dit.dit_forward(
-                params, cfg, x.astype(dtype), t1, text_mask, speaker_mask,
-                kv_text, kv_speaker, start_pos=start_pos,
-                kv_latent=kv_latent, latent_mask=lat_mask,
-                speaker_scale_by_layer=step_scales(step["spk"]))
-            v = step["c1"] * v + step["c2"] * x
-            return x + v * step["dt"], None
-
-        for is_cfg, start, stop in segments:
-            xs = {
-                "t": jnp.asarray(plan.t[start:stop]),
-                "dt": jnp.asarray(plan.dt[start:stop]),
-                "spk": jnp.asarray(plan.speaker_scale[start:stop]),
-                "c1": jnp.asarray(plan.rescale_c1[start:stop]),
-                "c2": jnp.asarray(plan.rescale_c2[start:stop]),
-            }
-            x_t, _ = jax.lax.scan(cfg_step if is_cfg else plain_step, x_t, xs)
-
-        prefix = jax.lax.dynamic_update_slice(
-            prefix, x_t, (0, start_pos, 0))
+        core = _block_core(cfg, start_pos, block_size, *statics)
+        x_t, prefix = core(params, prefix, noise, kv_text, kv_speaker,
+                           text_mask, speaker_mask)
         yield start_pos, x_t, prefix
         start_pos += block_size
 

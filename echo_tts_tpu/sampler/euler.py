@@ -22,6 +22,7 @@ Re-implements the reference sampler semantics
 """
 from __future__ import annotations
 
+import functools
 import itertools
 from typing import List, NamedTuple, Optional, Tuple
 
@@ -107,6 +108,104 @@ def _segments(has_cfg: np.ndarray) -> List[Tuple[bool, int, int]]:
     return out
 
 
+@functools.lru_cache(maxsize=64)
+def _euler_core(
+    cfg: EchoDiTConfig,
+    num_steps: int,
+    cfg_scale_text: float,
+    cfg_scale_speaker: float,
+    cfg_min_t: float,
+    cfg_max_t: float,
+    truncation_factor: Optional[float],
+    rescale_k: Optional[float],
+    rescale_sigma: Optional[float],
+    speaker_kv_scale: Optional[float],
+    speaker_kv_max_layers: Optional[int],
+    speaker_kv_min_t: Optional[float],
+    dtype,
+):
+    """Build the jitted sampler core for one static configuration.
+
+    Cached so direct (un-jitted) callers — the serving handler, the demo,
+    the batcher — compile once per configuration/shape instead of
+    re-tracing the 24-layer scan on every request.
+    """
+    plan = build_step_plan(num_steps, cfg_min_t, cfg_max_t, rescale_k,
+                           rescale_sigma, speaker_kv_scale, speaker_kv_min_t)
+    segments = _segments(plan.has_cfg)
+
+    max_layers = (cfg.num_layers if speaker_kv_max_layers is None
+                  else min(speaker_kv_max_layers, cfg.num_layers))
+    s_text = np.float32(cfg_scale_text)
+    s_spk = np.float32(cfg_scale_speaker)
+
+    @jax.jit
+    def run(params, speaker_latent, speaker_mask, text_input_ids,
+            text_mask, initial_noise):
+        batch_size = text_input_ids.shape[0]
+        x_t = initial_noise.astype(jnp.float32)
+        if truncation_factor is not None:
+            x_t = x_t * np.float32(truncation_factor)
+
+        # One-time prefill (reference: inference.py:464-465); encoders run
+        # in model dtype.
+        kv_text = dit.get_kv_cache_text(
+            params, cfg, text_input_ids, text_mask)
+        kv_speaker = dit.get_kv_cache_speaker(
+            params, cfg, speaker_latent.astype(dtype))
+
+        # CFG branch masks: [cond, uncond_text, uncond_speaker]
+        # (inference.py:474-475).
+        zero_t = jnp.zeros_like(text_mask)
+        zero_s = jnp.zeros_like(speaker_mask)
+        full_text_mask = jnp.concatenate(
+            [text_mask, zero_t, text_mask], axis=0)
+        full_speaker_mask = jnp.concatenate(
+            [speaker_mask, speaker_mask, zero_s], axis=0)
+
+        layer_gate = (jnp.arange(cfg.num_layers) < max_layers)
+
+        def step_scales(spk_scale):
+            return jnp.where(layer_gate, spk_scale, 1.0).astype(jnp.float32)
+
+        def cfg_step(x, step):
+            x3 = jnp.concatenate([x, x, x], axis=0).astype(dtype)
+            t3 = jnp.full((3 * batch_size,), step["t"],
+                          dtype=jnp.float32).astype(dtype)
+            v = dit.dit_forward(
+                params, cfg, x3, t3, full_text_mask, full_speaker_mask,
+                kv_text, kv_speaker,
+                speaker_scale_by_layer=step_scales(step["spk"]))
+            v_c, v_ut, v_us = jnp.split(v, 3, axis=0)
+            v = v_c + s_text * (v_c - v_ut) + s_spk * (v_c - v_us)
+            v = step["c1"] * v + step["c2"] * x
+            return x + v * step["dt"], None
+
+        def plain_step(x, step):
+            t1 = jnp.full((batch_size,), step["t"],
+                          dtype=jnp.float32).astype(dtype)
+            v = dit.dit_forward(
+                params, cfg, x.astype(dtype), t1, text_mask, speaker_mask,
+                kv_text, kv_speaker,
+                speaker_scale_by_layer=step_scales(step["spk"]))
+            v = step["c1"] * v + step["c2"] * x
+            return x + v * step["dt"], None
+
+        for is_cfg, start, stop in segments:
+            xs = {
+                "t": jnp.asarray(plan.t[start:stop]),
+                "dt": jnp.asarray(plan.dt[start:stop]),
+                "spk": jnp.asarray(plan.speaker_scale[start:stop]),
+                "c1": jnp.asarray(plan.rescale_c1[start:stop]),
+                "c2": jnp.asarray(plan.rescale_c2[start:stop]),
+            }
+            x_t, _ = jax.lax.scan(cfg_step if is_cfg else plain_step,
+                                  x_t, xs)
+        return x_t
+
+    return run
+
+
 def sample_euler_cfg_independent_guidances(
     params: dict,
     cfg: EchoDiTConfig,
@@ -137,75 +236,22 @@ def sample_euler_cfg_independent_guidances(
     inference.py:477) or `rng_key` must be provided.
     """
     batch_size = text_input_ids.shape[0]
-
     if initial_noise is None:
         if rng_key is None:
             raise ValueError("provide initial_noise or rng_key")
         initial_noise = jax.random.normal(
             rng_key, (batch_size, sequence_length, cfg.latent_size),
             dtype=jnp.float32)
-    x_t = initial_noise.astype(jnp.float32)
-    if truncation_factor is not None:
-        x_t = x_t * np.float32(truncation_factor)
 
-    plan = build_step_plan(num_steps, cfg_min_t, cfg_max_t, rescale_k,
-                           rescale_sigma, speaker_kv_scale, speaker_kv_min_t)
-
-    # One-time prefill (reference: inference.py:464-465); encoders run in
-    # model dtype.
-    kv_text = dit.get_kv_cache_text(
-        params, cfg, text_input_ids, text_mask)
-    kv_speaker = dit.get_kv_cache_speaker(
-        params, cfg, speaker_latent.astype(dtype))
-
-    # CFG branch masks: [cond, uncond_text, uncond_speaker]
-    # (inference.py:474-475).
-    zero_t = jnp.zeros_like(text_mask)
-    zero_s = jnp.zeros_like(speaker_mask)
-    full_text_mask = jnp.concatenate([text_mask, zero_t, text_mask], axis=0)
-    full_speaker_mask = jnp.concatenate(
-        [speaker_mask, speaker_mask, zero_s], axis=0)
-
-    max_layers = (cfg.num_layers if speaker_kv_max_layers is None
-                  else min(speaker_kv_max_layers, cfg.num_layers))
-    layer_gate = (jnp.arange(cfg.num_layers) < max_layers)
-
-    s_text = np.float32(cfg_scale_text)
-    s_spk = np.float32(cfg_scale_speaker)
-
-    def step_scales(spk_scale):
-        return jnp.where(layer_gate, spk_scale, 1.0).astype(jnp.float32)
-
-    def cfg_step(x, step):
-        x3 = jnp.concatenate([x, x, x], axis=0).astype(dtype)
-        t3 = jnp.full((3 * batch_size,), step["t"], dtype=jnp.float32).astype(dtype)
-        v = dit.dit_forward(
-            params, cfg, x3, t3, full_text_mask, full_speaker_mask,
-            kv_text, kv_speaker,
-            speaker_scale_by_layer=step_scales(step["spk"]))
-        v_c, v_ut, v_us = jnp.split(v, 3, axis=0)
-        v = v_c + s_text * (v_c - v_ut) + s_spk * (v_c - v_us)
-        v = step["c1"] * v + step["c2"] * x
-        return x + v * step["dt"], None
-
-    def plain_step(x, step):
-        t1 = jnp.full((batch_size,), step["t"], dtype=jnp.float32).astype(dtype)
-        v = dit.dit_forward(
-            params, cfg, x.astype(dtype), t1, text_mask, speaker_mask,
-            kv_text, kv_speaker,
-            speaker_scale_by_layer=step_scales(step["spk"]))
-        v = step["c1"] * v + step["c2"] * x
-        return x + v * step["dt"], None
-
-    for is_cfg, start, stop in _segments(plan.has_cfg):
-        xs = {
-            "t": jnp.asarray(plan.t[start:stop]),
-            "dt": jnp.asarray(plan.dt[start:stop]),
-            "spk": jnp.asarray(plan.speaker_scale[start:stop]),
-            "c1": jnp.asarray(plan.rescale_c1[start:stop]),
-            "c2": jnp.asarray(plan.rescale_c2[start:stop]),
-        }
-        body = cfg_step if is_cfg else plain_step
-        x_t, _ = jax.lax.scan(body, x_t, xs)
-
-    return x_t
+    core = _euler_core(
+        cfg, num_steps, float(cfg_scale_text), float(cfg_scale_speaker),
+        float(cfg_min_t), float(cfg_max_t),
+        None if truncation_factor is None else float(truncation_factor),
+        None if rescale_k is None else float(rescale_k),
+        None if rescale_sigma is None else float(rescale_sigma),
+        None if speaker_kv_scale is None else float(speaker_kv_scale),
+        speaker_kv_max_layers,
+        None if speaker_kv_min_t is None else float(speaker_kv_min_t),
+        jnp.dtype(dtype))  # np.dtype: hashable cache key, valid for astype
+    return core(params, speaker_latent, speaker_mask, text_input_ids,
+                text_mask, initial_noise)
