@@ -10,6 +10,8 @@ from typing import List, Optional
 
 import numpy as np
 
+from .. import native
+
 
 def crossfade_chunks(audio_chunks: List[np.ndarray],
                      overlap_samples: int = 4410) -> np.ndarray:
@@ -64,13 +66,10 @@ def normalize_chunk_boundaries(audio_chunks: List[np.ndarray],
         if i < len(audio_chunks) - 1:
             tail_samples = min(chunk.shape[-1], min_silence_samples * 2)
             tail = np.abs(chunk[..., -tail_samples:]).flatten()
-
-            trailing_silence = 0
-            for j in range(len(tail) - 1, -1, -1):
-                if tail[j] < silence_threshold:
-                    trailing_silence += 1
-                else:
-                    break
+            # per-sample scan in C when a toolchain is present
+            # (reference: handler.py:210-218 python loop)
+            trailing_silence = native.trailing_silence(
+                tail, silence_threshold)
 
             if trailing_silence > min_silence_samples:
                 chunk = chunk[..., :-(trailing_silence - min_silence_samples)]
@@ -98,6 +97,10 @@ def find_flattening_point(data: np.ndarray, target_value: float = 0.0,
     (n-1) estimator torch uses."""
     data = np.asarray(data, dtype=np.float32)
     n = len(data)
+    got = native.flattening_point(data, target_value, window_size,
+                                  std_threshold)
+    if got is not None:
+        return got
     padded = np.concatenate(
         [data, np.zeros((window_size, *data.shape[1:]), dtype=data.dtype)])
     # windows[i] = padded[i:i+window], flattened over feature dims
