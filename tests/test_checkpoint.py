@@ -11,17 +11,9 @@ from echo_tts_tpu.pipeline.pipeline import EchoModels
 from echo_tts_tpu.tools.checkpoint import load_checkpoint, save_checkpoint
 
 
-def test_checkpoint_roundtrip(tmp_path):
-    dit_cfg = tiny_dit_config()
-    dac_cfg = tiny_dac_config()
-    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
-    models = EchoModels(
-        dit_params=init_dit_params(k1, dit_cfg, dtype=jnp.float32),
-        dit_cfg=dit_cfg,
-        dac_params=init_dac_params(k2, dac_cfg, dtype=jnp.float32),
-        dac_cfg=dac_cfg,
-        pca=init_pca_params(k3, dit_cfg.latent_size, dac_cfg.latent_dim),
-        dtype=jnp.float32)
+def test_checkpoint_roundtrip(tmp_path, tiny_models):
+    models = tiny_models
+    dit_cfg, dac_cfg = models.dit_cfg, models.dac_cfg
 
     path = str(tmp_path / "ckpt")
     save_checkpoint(path, models)

@@ -24,18 +24,8 @@ from echo_tts_tpu.pipeline import audio_io
 
 
 @pytest.fixture(scope="module")
-def models():
-    dit_cfg = tiny_dit_config()
-    dac_cfg = tiny_dac_config()
-    k = jax.random.PRNGKey(0)
-    k1, k2, k3 = jax.random.split(k, 3)
-    return EchoModels(
-        dit_params=init_dit_params(k1, dit_cfg, dtype=jnp.float32),
-        dit_cfg=dit_cfg,
-        dac_params=init_dac_params(k2, dac_cfg, dtype=jnp.float32),
-        dac_cfg=dac_cfg,
-        pca=init_pca_params(k3, dit_cfg.latent_size, dac_cfg.latent_dim),
-        dtype=jnp.float32)
+def models(tiny_models):
+    return tiny_models
 
 
 @pytest.fixture
