@@ -2,12 +2,7 @@
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
-from echo_tts_tpu.config import tiny_dac_config, tiny_dit_config
-from echo_tts_tpu.models.dac.init import init_dac_params, init_pca_params
-from echo_tts_tpu.models.dit import init_dit_params
-from echo_tts_tpu.pipeline.pipeline import EchoModels
 from echo_tts_tpu.tools.checkpoint import load_checkpoint, save_checkpoint
 
 

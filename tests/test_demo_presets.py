@@ -4,16 +4,9 @@ import os
 import numpy as np
 import pytest
 
-import jax
-import jax.numpy as jnp
-
-from echo_tts_tpu.config import tiny_dac_config, tiny_dit_config
 from echo_tts_tpu.demo.app import (CFG_PRESETS, TRUNCATION_PRESETS,
                                    DemoSession)
-from echo_tts_tpu.models.dac.init import init_dac_params, init_pca_params
-from echo_tts_tpu.models.dit import init_dit_params
 from echo_tts_tpu.pipeline import audio_io
-from echo_tts_tpu.pipeline.pipeline import EchoModels
 from echo_tts_tpu.serve.presets import (get_preset, load_presets,
                                         pick_speaker_bucket,
                                         pick_text_bucket)

@@ -9,13 +9,6 @@ import os
 import numpy as np
 import pytest
 
-import jax
-import jax.numpy as jnp
-
-from echo_tts_tpu.config import tiny_dac_config, tiny_dit_config
-from echo_tts_tpu.models.dac.init import init_dac_params, init_pca_params
-from echo_tts_tpu.models.dit import init_dit_params
-from echo_tts_tpu.pipeline.pipeline import EchoModels
 import importlib
 
 h = importlib.import_module("echo_tts_tpu.serve.handler")

@@ -6,10 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from echo_tts_tpu.config import tiny_dac_config, tiny_dit_config
-from echo_tts_tpu.models.dac.init import init_dac_params, init_pca_params
-from echo_tts_tpu.models.dit import init_dit_params
-from echo_tts_tpu.pipeline.pipeline import EchoModels, ae_decode
+from echo_tts_tpu.pipeline.pipeline import ae_decode
 from echo_tts_tpu.sampler.blockwise import (
     sample_blockwise_euler_cfg_independent_guidances)
 from echo_tts_tpu.serve.streaming import stream_synthesize
