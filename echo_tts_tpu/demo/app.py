@@ -39,8 +39,10 @@ TRUNCATION_PRESETS: Dict[str, Tuple[float, float, float]] = {
     "baseline(sharp)": (1.0, 1.0, 3.0),
 }
 
-DEFAULT_TEXT_BUCKETS = "768"
-DEFAULT_SPEAKER_BUCKETS = "640, 2816, 6400"
+# single source of truth for the static-shape buckets: serve/presets.py
+from ..serve.presets import SPEAKER_BUCKETS as DEFAULT_SPEAKER_BUCKETS
+from ..serve.presets import TEXT_BUCKETS as DEFAULT_TEXT_BUCKETS
+
 DEFAULT_SAMPLE_LATENT_LENGTH = 640
 
 

@@ -229,6 +229,48 @@ def get_kv_cache_latent(params: dict, cfg: EchoDiTConfig,
     return k, v
 
 
+def concat_static_kv(
+    cfg: EchoDiTConfig,
+    kv_text: KV,
+    kv_speaker: KV,
+    kv_latent: Optional[KV] = None,
+) -> Tuple[KV, jnp.ndarray]:
+    """Concatenate the per-request-constant KV segments once (per sampler
+    call / per streaming block) instead of per layer per step.
+
+    Segment order: [latent?, text, speaker].  Returns ((k, v) stacked
+    (L, B, T, H, Dh), spk_cols (T,) bool marking speaker columns — the
+    target of the functional speaker-KV scale).
+    """
+    k_parts = [kv_text[0], kv_speaker[0]]
+    v_parts = [kv_text[1], kv_speaker[1]]
+    lengths = [kv_text[0].shape[2], kv_speaker[0].shape[2]]
+    if kv_latent is not None:
+        k_parts.insert(0, kv_latent[0])
+        v_parts.insert(0, kv_latent[1])
+        lengths.insert(0, kv_latent[0].shape[2])
+    k = jnp.concatenate(k_parts, axis=2)
+    v = jnp.concatenate(v_parts, axis=2)
+    total = sum(lengths)
+    spk_cols = np.zeros((total,), bool)
+    spk_cols[total - lengths[-1]:] = True
+    return (k, v), jnp.asarray(spk_cols)
+
+
+def static_attention_mask(
+    cfg: EchoDiTConfig,
+    text_mask: jnp.ndarray,                 # (GB, T_text) bool
+    speaker_mask: jnp.ndarray,              # (GB, S_spk) bool, UNsubsampled
+    latent_mask: Optional[jnp.ndarray] = None,  # (GB, T_lat) bool
+) -> jnp.ndarray:
+    """Per-branch key mask over the concatenated static segments, with the
+    speaker mask subsampled by patch_size (model.py:581)."""
+    parts = [text_mask, speaker_mask[..., :: cfg.speaker_patch_size]]
+    if latent_mask is not None:
+        parts.insert(0, latent_mask)
+    return jnp.concatenate(parts, axis=-1)
+
+
 def latent_prefix_mask(batch_size: int, num_latents: int, start_pos: int,
                        patch_size: int) -> np.ndarray:
     """position * patch_size < start_pos (reference: model.py:243-244).
@@ -244,14 +286,17 @@ def latent_prefix_mask(batch_size: int, num_latents: int, start_pos: int,
 def _select_attention_impl(cfg: EchoDiTConfig, s: int, t_static: int,
                            head_dim: int) -> str:
     """Resolve cfg.attention_impl at trace time.  "auto" picks the fused
-    Pallas kernel on accelerators when the (S, T) logits fit VMEM; on CPU
-    (tests, parity) it stays on the XLA einsum path."""
+    Pallas kernel on a SINGLE accelerator when the (S, T) logits fit VMEM;
+    on CPU (tests, parity) and under multi-device meshes (GSPMD has no
+    partitioning rule for the Mosaic kernel — the TP/DP path must stay on
+    the partitionable einsums) it uses the XLA path."""
     if cfg.attention_impl == "xla":
         return "xla"
     on_cpu = jax.default_backend() == "cpu"
     if cfg.attention_impl == "pallas":
         return "pallas_interpret" if on_cpu else "pallas"
-    if not on_cpu and fits_vmem(s, t_static, head_dim):
+    if (not on_cpu and jax.device_count() == 1
+            and fits_vmem(s, t_static, head_dim)):
         return "pallas"
     return "xla"
 
@@ -375,6 +420,123 @@ def _joint_attention(
     out = out.reshape(gb, s, d)
     out = out * jax.nn.sigmoid(gate)
     return out @ p["wo"]
+
+
+def _joint_attention_static(
+    p: dict,
+    x: jnp.ndarray,
+    static_mask: jnp.ndarray,     # (GB, T) bool
+    col_scale: jnp.ndarray,       # (T,) f32
+    freqs_q: jnp.ndarray,
+    k_static: jnp.ndarray,        # (B, T, H, Dh)
+    v_static: jnp.ndarray,
+    *,
+    num_heads: int,
+    eps: float,
+    impl: str,
+) -> jnp.ndarray:
+    """Joint attention over [self | pre-concatenated static KV] — the hot
+    sampler path.  Same math as _joint_attention, but text/speaker/latent
+    are already concatenated (concat_static_kv) so nothing per-segment is
+    materialized inside the layer scan; the speaker-KV scale arrives as a
+    per-column multiplier on logits (K·s) and weights (V·s)."""
+    gb, s, d = x.shape
+    b = k_static.shape[0]
+    g = gb // b
+    dh = d // num_heads
+    scale = 1.0 / (dh ** 0.5)
+
+    q = (x @ p["wq"]).reshape(gb, s, num_heads, dh)
+    k_self = (x @ p["wk"]).reshape(gb, s, num_heads, dh)
+    v_self = (x @ p["wv"]).reshape(gb, s, num_heads, dh)
+    gate = x @ p["gate"]
+
+    q = rms_norm(q, p["q_norm"], eps)
+    k_self = rms_norm(k_self, p["k_norm"], eps)
+    q = apply_rotary_emb_half_heads(q, freqs_q)
+    k_self = apply_rotary_emb_half_heads(k_self, freqs_q)
+
+    if impl.startswith("pallas"):
+        out = fused_joint_attention(
+            q, k_self, v_self, k_static, v_static, static_mask, col_scale,
+            sm_scale=scale, interpret=(impl == "pallas_interpret"))
+        out = out.reshape(gb, s, d)
+        return (out * jax.nn.sigmoid(gate)) @ p["wo"]
+
+    qg = q.reshape(g, b, s, num_heads, dh)
+    logits_self = jnp.einsum(
+        "gbshd,gbthd->gbhst", qg, k_self.reshape(g, b, s, num_heads, dh),
+        preferred_element_type=jnp.float32) * scale
+    logits_st = jnp.einsum(
+        "gbshd,bthd->gbhst", qg, k_static,
+        preferred_element_type=jnp.float32) * scale
+    logits_st = logits_st * col_scale
+    logits_st = jnp.where(
+        static_mask.reshape(g, b, 1, 1, -1), logits_st, float("-inf"))
+
+    logits = jnp.concatenate([logits_self, logits_st], axis=-1)
+    weights = jax.nn.softmax(logits, axis=-1)
+    w_self = weights[..., :s].astype(v_self.dtype)
+    w_st = (weights[..., s:] * col_scale).astype(v_static.dtype)
+    out = jnp.einsum("gbhst,gbthd->gbshd", w_self,
+                     v_self.reshape(g, b, s, num_heads, dh))
+    out = out + jnp.einsum("gbhst,bthd->gbshd", w_st, v_static)
+    out = out.reshape(gb, s, d)
+    return (out * jax.nn.sigmoid(gate)) @ p["wo"]
+
+
+def dit_forward_static(
+    params: dict,
+    cfg: EchoDiTConfig,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    kv_static: KV,                # (L, B, T, H, Dh) from concat_static_kv
+    spk_cols: jnp.ndarray,        # (T,) bool
+    static_mask: jnp.ndarray,     # (GB, T) bool (static_attention_mask)
+    *,
+    start_pos: int = 0,
+    speaker_scale_by_layer: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Denoiser forward over pre-concatenated static KV — what the sampler
+    cores call per step (reference semantics identical to dit_forward;
+    see _joint_attention_static)."""
+    s = x.shape[1]
+    freqs_q = _freqs(cfg.head_dim, start_pos + s)[start_pos:]
+    t_static = kv_static[0].shape[2]
+    impl = _select_attention_impl(cfg, s, t_static, cfg.head_dim)
+
+    cond = get_timestep_embedding(t, cfg.timestep_embed_size)
+    c = params["cond"]
+    cond = jax.nn.silu(cond @ c["w0"])
+    cond = jax.nn.silu(cond @ c["w1"])
+    cond = (cond @ c["w2"])[:, None]
+
+    h = x @ params["in_proj"]["kernel"] + params["in_proj"]["bias"]
+
+    if speaker_scale_by_layer is None:
+        speaker_scale_by_layer = jnp.ones((cfg.num_layers,), jnp.float32)
+
+    xs = dict(p=params["blocks"], k_st=kv_static[0], v_st=kv_static[1],
+              spk_scale=speaker_scale_by_layer)
+    spk_cols_f = spk_cols.astype(jnp.float32)
+
+    def body(h, xs_i):
+        p = xs_i["p"]
+        # col_scale = 1 on non-speaker cols, layer scale on speaker cols
+        col_scale = 1.0 + (xs_i["spk_scale"] - 1.0) * spk_cols_f
+        h_norm, gate = low_rank_adaln(h, cond, p["attn_adaln"], cfg.norm_eps)
+        h = h + gate * _joint_attention_static(
+            p["attn"], h_norm, static_mask, col_scale, freqs_q,
+            xs_i["k_st"], xs_i["v_st"],
+            num_heads=cfg.num_heads, eps=cfg.norm_eps, impl=impl)
+        h_norm, gate = low_rank_adaln(h, cond, p["mlp_adaln"], cfg.norm_eps)
+        h = h + gate * _mlp(p["mlp"], h_norm)
+        return h, None
+
+    h, _ = jax.lax.scan(body, h, xs)
+    h = rms_norm(h, params["out_norm"], cfg.norm_eps)
+    h = h @ params["out_proj"]["kernel"] + params["out_proj"]["bias"]
+    return h.astype(jnp.float32)
 
 
 def dit_forward(

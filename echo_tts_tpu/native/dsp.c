@@ -20,17 +20,6 @@ long echo_trailing_silence(const float *x, long n, float threshold) {
     return count;
 }
 
-/* Linear crossfade: out[i] = prev[i]*(1-t) + cur[i]*t, t = i/(n-1). */
-void echo_crossfade(const float *prev_tail, const float *cur_head,
-                    float *out, long n) {
-    if (n == 1) { out[0] = cur_head[0]; return; }
-    const float denom = (float)(n - 1);
-    for (long i = 0; i < n; ++i) {
-        float t = (float)i / denom;
-        out[i] = prev_tail[i] * (1.0f - t) + cur_head[i] * t;
-    }
-}
-
 /* First window of `window` rows (each `width` floats) whose std (unbiased)
  * < std_threshold and |mean - target| < 0.1; returns n if none.
  * Mirrors find_flattening_point (reference: inference.py:288-296). */

@@ -30,6 +30,7 @@ under the 16 MB/core VMEM.  `fits_vmem()` guards the auto-dispatch.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,17 +41,22 @@ LANE = 128
 NEG_INF = float("-inf")
 
 
-def _kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref, out_ref,
-            *, sm_scale: float):
+def _kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref, scale_ref,
+            out_ref, *, sm_scale: float):
     # blocks are (1, 1, seq, Dh); bias block is the full (GB, T) array and
     # is indexed by the batch program id (a (1, T) row slice keeps the
     # sublane dim tiled-legal where a (1, T) BlockSpec would not be).
+    # scale_ref (1, T) is the per-key-column multiplicative scale — the
+    # functional form of the reference's speaker K/V cache scaling
+    # (inference.py:408-414): multiply logits (≡ K·s) and the softmax
+    # weights (≡ V·s) by the column scale.
     q = q_ref[0, 0]
     k_self = ks_ref[0, 0]
     v_self = vs_ref[0, 0]
     k_st = kt_ref[0, 0]
     v_st = vt_ref[0, 0]
     bias = bias_ref[pl.ds(pl.program_id(0), 1), :]  # (1, T)
+    col_scale = scale_ref[0][None, :]               # (1, T)
 
     logits_self = jax.lax.dot_general(
         q, k_self, (((1,), (1,)), ((), ())),
@@ -58,7 +64,7 @@ def _kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref, out_ref,
     logits_st = jax.lax.dot_general(
         q, k_st, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale
-    logits_st = logits_st + bias
+    logits_st = logits_st * col_scale + bias
 
     m = jnp.maximum(jnp.max(logits_self, axis=-1, keepdims=True),
                     jnp.max(logits_st, axis=-1, keepdims=True))
@@ -71,7 +77,8 @@ def _kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref, out_ref,
         e_self.astype(v_self.dtype), v_self, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     acc = acc + jax.lax.dot_general(
-        e_st.astype(v_st.dtype), v_st, (((1,), (0,)), ((), ())),
+        (e_st * col_scale).astype(v_st.dtype), v_st,
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     out_ref[0, 0] = (acc / denom).astype(out_ref.dtype)
@@ -101,6 +108,7 @@ def fused_joint_attention(
     k_static: jnp.ndarray,  # (B, T, H, Dh) — text ++ speaker (++ latent)
     v_static: jnp.ndarray,  # (B, T, H, Dh)
     static_mask: jnp.ndarray,  # (GB, T) bool, True = attend
+    col_scale: Optional[jnp.ndarray] = None,  # (T,) f32 K/V column scale
     *,
     sm_scale: float,
     interpret: bool = False,
@@ -108,13 +116,17 @@ def fused_joint_attention(
     gb, s, h, dh = q.shape
     b, t, _, _ = k_static.shape
 
+    if col_scale is None:
+        col_scale = jnp.ones((t,), jnp.float32)
     t_pad = _round_up(max(t, LANE), LANE)
     if t_pad != t:
         pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
         k_static = jnp.pad(k_static, pad)
         v_static = jnp.pad(v_static, pad)
         static_mask = jnp.pad(static_mask, [(0, 0), (0, t_pad - t)])
+        col_scale = jnp.pad(col_scale, (0, t_pad - t))
     bias = jnp.where(static_mask, 0.0, NEG_INF).astype(jnp.float32)
+    col_scale = col_scale.astype(jnp.float32)[None, :]  # (1, T)
 
     # Arrays come in (batch, seq, H, Dh); transpose to (batch, H, seq, Dh)
     # so the (seq, Dh) tile is contiguous in the minor dims.
@@ -142,11 +154,13 @@ def fused_joint_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, t_pad), lambda bi, hi: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad), lambda bi, hi: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((gb, h, s, dh), q.dtype),
         interpret=interpret,
-    )(qt, kst, vst, ktt, vtt, bias)
+    )(qt, kst, vst, ktt, vtt, bias, col_scale)
 
     return out.transpose(0, 2, 1, 3)  # back to (GB, S, H, Dh)

@@ -172,5 +172,5 @@ def load_audio(path: str, max_duration: float = 300) -> np.ndarray:
         audio, sr = decode_with_ffmpeg(path, max_duration)
     mono = audio.mean(axis=0, keepdims=True).astype(np.float32)
     mono = resample(mono, sr, SAMPLE_RATE)
-    mono = mono / np.maximum(np.abs(mono).max(), 1.0)
-    return mono.astype(np.float32)
+    from .dsp import peak_normalize
+    return peak_normalize(mono)

@@ -35,7 +35,7 @@ import numpy as np
 
 from ..config import EchoDiTConfig
 from ..models import dit
-from .euler import _segments, build_step_plan
+from .euler import build_step_plan, make_cfg_branch_masks, run_step_segments
 
 
 @functools.lru_cache(maxsize=8)
@@ -72,11 +72,6 @@ def _block_core(
     plan = build_step_plan(num_steps, cfg_min_t, cfg_max_t, rescale_k,
                            rescale_sigma, speaker_kv_scale,
                            speaker_kv_min_t)
-    segments = _segments(plan.has_cfg)
-    max_layers = (cfg.num_layers if speaker_kv_max_layers is None
-                  else min(speaker_kv_max_layers, cfg.num_layers))
-    s_text = np.float32(cfg_scale_text)
-    s_spk = np.float32(cfg_scale_speaker)
 
     @jax.jit
     def run(params, prefix, noise, kv_text, kv_speaker,
@@ -84,63 +79,28 @@ def _block_core(
         batch_size = text_mask.shape[0]
         n_lat = prefix.shape[1] // cfg.speaker_patch_size
 
+        # Per-block latent-prefix re-encode (inference_blockwise.py:72-74);
+        # constant across the block's steps, so it concatenates into the
+        # static KV here, outside the step scans.
         kv_latent = dit.get_kv_cache_latent(params, cfg,
                                             prefix.astype(dtype))
         lat_mask = jnp.asarray(dit.latent_prefix_mask(
             batch_size, n_lat, start_pos, cfg.speaker_patch_size))
-        lat_mask3 = jnp.concatenate([lat_mask] * 3, axis=0)
-
-        zero_t = jnp.zeros_like(text_mask)
-        zero_s = jnp.zeros_like(speaker_mask)
-        full_text_mask = jnp.concatenate(
-            [text_mask, zero_t, text_mask], axis=0)
-        full_speaker_mask = jnp.concatenate(
-            [speaker_mask, speaker_mask, zero_s], axis=0)
-
-        layer_gate = (jnp.arange(cfg.num_layers) < max_layers)
-
-        def step_scales(spk_scale):
-            return jnp.where(layer_gate, spk_scale, 1.0).astype(jnp.float32)
+        kv_static, spk_cols = dit.concat_static_kv(
+            cfg, kv_text, kv_speaker, kv_latent)
+        mask_cfg, mask_plain = make_cfg_branch_masks(
+            cfg, text_mask, speaker_mask, lat_mask)
 
         x_t = noise.astype(jnp.float32)
         if truncation_factor is not None:
             x_t = x_t * np.float32(truncation_factor)
 
-        def cfg_step(x, step):
-            x3 = jnp.concatenate([x, x, x], axis=0).astype(dtype)
-            t3 = jnp.full((3 * batch_size,), step["t"],
-                          jnp.float32).astype(dtype)
-            v = dit.dit_forward(
-                params, cfg, x3, t3, full_text_mask, full_speaker_mask,
-                kv_text, kv_speaker, start_pos=start_pos,
-                kv_latent=kv_latent, latent_mask=lat_mask3,
-                speaker_scale_by_layer=step_scales(step["spk"]))
-            v_c, v_ut, v_us = jnp.split(v, 3, axis=0)
-            v = v_c + s_text * (v_c - v_ut) + s_spk * (v_c - v_us)
-            v = step["c1"] * v + step["c2"] * x
-            return x + v * step["dt"], None
-
-        def plain_step(x, step):
-            t1 = jnp.full((batch_size,), step["t"],
-                          jnp.float32).astype(dtype)
-            v = dit.dit_forward(
-                params, cfg, x.astype(dtype), t1, text_mask, speaker_mask,
-                kv_text, kv_speaker, start_pos=start_pos,
-                kv_latent=kv_latent, latent_mask=lat_mask,
-                speaker_scale_by_layer=step_scales(step["spk"]))
-            v = step["c1"] * v + step["c2"] * x
-            return x + v * step["dt"], None
-
-        for is_cfg, start, stop in segments:
-            xs = {
-                "t": jnp.asarray(plan.t[start:stop]),
-                "dt": jnp.asarray(plan.dt[start:stop]),
-                "spk": jnp.asarray(plan.speaker_scale[start:stop]),
-                "c1": jnp.asarray(plan.rescale_c1[start:stop]),
-                "c2": jnp.asarray(plan.rescale_c2[start:stop]),
-            }
-            x_t, _ = jax.lax.scan(cfg_step if is_cfg else plain_step,
-                                  x_t, xs)
+        x_t = run_step_segments(
+            params, cfg, x_t, plan, kv_static, spk_cols, mask_cfg,
+            mask_plain, cfg_scale_text=cfg_scale_text,
+            cfg_scale_speaker=cfg_scale_speaker,
+            speaker_kv_max_layers=speaker_kv_max_layers, dtype=dtype,
+            start_pos=start_pos)
 
         prefix = jax.lax.dynamic_update_slice(prefix, x_t,
                                               (0, start_pos, 0))

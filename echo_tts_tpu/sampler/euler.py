@@ -108,6 +108,90 @@ def _segments(has_cfg: np.ndarray) -> List[Tuple[bool, int, int]]:
     return out
 
 
+def make_cfg_branch_masks(cfg: EchoDiTConfig, text_mask, speaker_mask,
+                          latent_mask=None):
+    """Static key masks for the batch-B (cond-only) and batch-3B CFG
+    forward, over the concatenated static KV.  CFG branch order is
+    [cond, uncond_text, uncond_speaker] (inference.py:474-475): uncond_text
+    zeroes the text columns, uncond_speaker the speaker columns."""
+    zero_t = jnp.zeros_like(text_mask)
+    zero_s = jnp.zeros_like(speaker_mask)
+    full_text = jnp.concatenate([text_mask, zero_t, text_mask], axis=0)
+    full_spk = jnp.concatenate([speaker_mask, speaker_mask, zero_s], axis=0)
+    lat3 = (None if latent_mask is None
+            else jnp.concatenate([latent_mask] * 3, axis=0))
+    mask_plain = dit.static_attention_mask(
+        cfg, text_mask, speaker_mask, latent_mask)
+    mask_cfg = dit.static_attention_mask(cfg, full_text, full_spk, lat3)
+    return mask_cfg, mask_plain
+
+
+def run_step_segments(
+    params: dict,
+    cfg: EchoDiTConfig,
+    x_t: jnp.ndarray,
+    plan: StepPlan,
+    kv_static: Tuple[jnp.ndarray, jnp.ndarray],
+    spk_cols: jnp.ndarray,
+    mask_cfg: jnp.ndarray,
+    mask_plain: jnp.ndarray,
+    *,
+    cfg_scale_text: float,
+    cfg_scale_speaker: float,
+    speaker_kv_max_layers: Optional[int],
+    dtype,
+    start_pos: int = 0,
+) -> jnp.ndarray:
+    """The Euler hot loop shared by the flat and blockwise samplers: one
+    lax.scan per contiguous CFG-on/off segment of the step plan, over the
+    pre-concatenated static KV (reference loop: inference.py:481-515 /
+    inference_blockwise.py:80-118)."""
+    batch_size = x_t.shape[0]
+    segments = _segments(plan.has_cfg)
+    max_layers = (cfg.num_layers if speaker_kv_max_layers is None
+                  else min(speaker_kv_max_layers, cfg.num_layers))
+    layer_gate = (jnp.arange(cfg.num_layers) < max_layers)
+    s_text = np.float32(cfg_scale_text)
+    s_spk = np.float32(cfg_scale_speaker)
+
+    def step_scales(spk_scale):
+        return jnp.where(layer_gate, spk_scale, 1.0).astype(jnp.float32)
+
+    def cfg_step(x, step):
+        x3 = jnp.concatenate([x, x, x], axis=0).astype(dtype)
+        t3 = jnp.full((3 * batch_size,), step["t"],
+                      dtype=jnp.float32).astype(dtype)
+        v = dit.dit_forward_static(
+            params, cfg, x3, t3, kv_static, spk_cols, mask_cfg,
+            start_pos=start_pos,
+            speaker_scale_by_layer=step_scales(step["spk"]))
+        v_c, v_ut, v_us = jnp.split(v, 3, axis=0)
+        v = v_c + s_text * (v_c - v_ut) + s_spk * (v_c - v_us)
+        v = step["c1"] * v + step["c2"] * x
+        return x + v * step["dt"], None
+
+    def plain_step(x, step):
+        t1 = jnp.full((batch_size,), step["t"],
+                      dtype=jnp.float32).astype(dtype)
+        v = dit.dit_forward_static(
+            params, cfg, x.astype(dtype), t1, kv_static, spk_cols,
+            mask_plain, start_pos=start_pos,
+            speaker_scale_by_layer=step_scales(step["spk"]))
+        v = step["c1"] * v + step["c2"] * x
+        return x + v * step["dt"], None
+
+    for is_cfg, start, stop in segments:
+        xs = {
+            "t": jnp.asarray(plan.t[start:stop]),
+            "dt": jnp.asarray(plan.dt[start:stop]),
+            "spk": jnp.asarray(plan.speaker_scale[start:stop]),
+            "c1": jnp.asarray(plan.rescale_c1[start:stop]),
+            "c2": jnp.asarray(plan.rescale_c2[start:stop]),
+        }
+        x_t, _ = jax.lax.scan(cfg_step if is_cfg else plain_step, x_t, xs)
+    return x_t
+
+
 @functools.lru_cache(maxsize=64)
 def _euler_core(
     cfg: EchoDiTConfig,
@@ -132,76 +216,30 @@ def _euler_core(
     """
     plan = build_step_plan(num_steps, cfg_min_t, cfg_max_t, rescale_k,
                            rescale_sigma, speaker_kv_scale, speaker_kv_min_t)
-    segments = _segments(plan.has_cfg)
-
-    max_layers = (cfg.num_layers if speaker_kv_max_layers is None
-                  else min(speaker_kv_max_layers, cfg.num_layers))
-    s_text = np.float32(cfg_scale_text)
-    s_spk = np.float32(cfg_scale_speaker)
 
     @jax.jit
     def run(params, speaker_latent, speaker_mask, text_input_ids,
             text_mask, initial_noise):
-        batch_size = text_input_ids.shape[0]
         x_t = initial_noise.astype(jnp.float32)
         if truncation_factor is not None:
             x_t = x_t * np.float32(truncation_factor)
 
         # One-time prefill (reference: inference.py:464-465); encoders run
-        # in model dtype.
+        # in model dtype.  The static KV segments are concatenated ONCE
+        # here, outside the step scans.
         kv_text = dit.get_kv_cache_text(
             params, cfg, text_input_ids, text_mask)
         kv_speaker = dit.get_kv_cache_speaker(
             params, cfg, speaker_latent.astype(dtype))
+        kv_static, spk_cols = dit.concat_static_kv(cfg, kv_text, kv_speaker)
+        mask_cfg, mask_plain = make_cfg_branch_masks(
+            cfg, text_mask, speaker_mask)
 
-        # CFG branch masks: [cond, uncond_text, uncond_speaker]
-        # (inference.py:474-475).
-        zero_t = jnp.zeros_like(text_mask)
-        zero_s = jnp.zeros_like(speaker_mask)
-        full_text_mask = jnp.concatenate(
-            [text_mask, zero_t, text_mask], axis=0)
-        full_speaker_mask = jnp.concatenate(
-            [speaker_mask, speaker_mask, zero_s], axis=0)
-
-        layer_gate = (jnp.arange(cfg.num_layers) < max_layers)
-
-        def step_scales(spk_scale):
-            return jnp.where(layer_gate, spk_scale, 1.0).astype(jnp.float32)
-
-        def cfg_step(x, step):
-            x3 = jnp.concatenate([x, x, x], axis=0).astype(dtype)
-            t3 = jnp.full((3 * batch_size,), step["t"],
-                          dtype=jnp.float32).astype(dtype)
-            v = dit.dit_forward(
-                params, cfg, x3, t3, full_text_mask, full_speaker_mask,
-                kv_text, kv_speaker,
-                speaker_scale_by_layer=step_scales(step["spk"]))
-            v_c, v_ut, v_us = jnp.split(v, 3, axis=0)
-            v = v_c + s_text * (v_c - v_ut) + s_spk * (v_c - v_us)
-            v = step["c1"] * v + step["c2"] * x
-            return x + v * step["dt"], None
-
-        def plain_step(x, step):
-            t1 = jnp.full((batch_size,), step["t"],
-                          dtype=jnp.float32).astype(dtype)
-            v = dit.dit_forward(
-                params, cfg, x.astype(dtype), t1, text_mask, speaker_mask,
-                kv_text, kv_speaker,
-                speaker_scale_by_layer=step_scales(step["spk"]))
-            v = step["c1"] * v + step["c2"] * x
-            return x + v * step["dt"], None
-
-        for is_cfg, start, stop in segments:
-            xs = {
-                "t": jnp.asarray(plan.t[start:stop]),
-                "dt": jnp.asarray(plan.dt[start:stop]),
-                "spk": jnp.asarray(plan.speaker_scale[start:stop]),
-                "c1": jnp.asarray(plan.rescale_c1[start:stop]),
-                "c2": jnp.asarray(plan.rescale_c2[start:stop]),
-            }
-            x_t, _ = jax.lax.scan(cfg_step if is_cfg else plain_step,
-                                  x_t, xs)
-        return x_t
+        return run_step_segments(
+            params, cfg, x_t, plan, kv_static, spk_cols, mask_cfg,
+            mask_plain, cfg_scale_text=cfg_scale_text,
+            cfg_scale_speaker=cfg_scale_speaker,
+            speaker_kv_max_layers=speaker_kv_max_layers, dtype=dtype)
 
     return run
 

@@ -119,6 +119,10 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
         raise ValueError(
             f"text too long: {len(text)} > {MAX_TEXT_CHARS} chars")
 
+    boundary_mode = job_input.get("boundary_mode", "normalize")
+    if boundary_mode not in ("normalize", "crossfade", "none"):
+        raise ValueError(f"unknown boundary_mode: {boundary_mode}")
+
     sample_fn, sample_params = build_sample_fn(
         job_input.get("parameters"), preset=job_input.get("preset"))
 
@@ -159,15 +163,12 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
         log.info("[%s] chunk %d/%d done (%.1fs audio)", request_id, idx + 1,
                  len(chunks), chunk_audio.shape[-1] / SAMPLE_RATE)
 
-    boundary_mode = job_input.get("boundary_mode", "normalize")
     if len(audio_chunks) == 1 or boundary_mode == "none":
         audio = np.concatenate(audio_chunks, axis=-1)
     elif boundary_mode == "crossfade":
         audio = dsp.crossfade_chunks(audio_chunks)
-    elif boundary_mode == "normalize":
+    else:  # "normalize" (validated above)
         audio = dsp.normalize_chunk_boundaries(audio_chunks)
-    else:
-        raise ValueError(f"unknown boundary_mode: {boundary_mode}")
 
     if audio.ndim == 1:
         audio = audio[None, :]
@@ -241,7 +242,13 @@ def main(argv: Optional[List[str]] = None) -> None:
             line = line.strip()
             if not line:
                 continue
-            job = json.loads(line)
+            try:
+                job = json.loads(line)
+            except json.JSONDecodeError as exc:
+                print(json.dumps({"error": f"invalid JSON: {exc}",
+                                  "error_type": "JSONDecodeError",
+                                  "traceback": ""}), flush=True)
+                continue
             print(json.dumps(handler(job)), flush=True)
 
 

@@ -24,6 +24,7 @@ log = logging.getLogger("echo_tts_tpu.serve")
 
 _CACHE_LOCK = threading.Lock()
 _MODELS: Optional[EchoModels] = None
+_MODELS_KEY = None  # (model_dir, dtype_name, random) of the cached bundle
 
 DIT_WEIGHTS = "pytorch_model.safetensors"
 DAC_WEIGHTS = "fish_ae.safetensors"
@@ -89,13 +90,23 @@ def load_models(model_dir: Optional[str] = None,
                 dtype=jnp.bfloat16,
                 allow_random: bool = False) -> EchoModels:
     """Load (once) and cache the model bundle
-    (reference: handler.py:323-423)."""
-    global _MODELS
+    (reference: handler.py:323-423).  A later call with a DIFFERENT
+    model_dir/dtype raises rather than silently serving the cached bundle;
+    call clear_models() to swap."""
+    global _MODELS, _MODELS_KEY
+    use_random = not (model_dir and os.path.isdir(model_dir))
+    key = (None if use_random else model_dir, jnp.dtype(dtype).name,
+           use_random)
     with _CACHE_LOCK:
         if _MODELS is not None:
+            if key != _MODELS_KEY:
+                raise RuntimeError(
+                    f"models already loaded with {_MODELS_KEY}; refusing to "
+                    f"silently serve them for {key} — call clear_models() "
+                    "first")
             return _MODELS
         t0 = time.time()
-        if model_dir and os.path.isdir(model_dir):
+        if not use_random:
             _MODELS = _load_from_dir(model_dir, dtype)
         elif allow_random:
             log.warning("no ECHO_MODEL_DIR: using RANDOM weights (dev mode)")
@@ -105,6 +116,7 @@ def load_models(model_dir: Optional[str] = None,
                 f"model dir not found: {model_dir!r}; set ECHO_MODEL_DIR to "
                 "a directory with converted safetensors, or pass "
                 "allow_random=True for development")
+        _MODELS_KEY = key
         log.info("models ready in %.1fs", time.time() - t0)
         return _MODELS
 
@@ -114,6 +126,7 @@ def models_loaded() -> bool:
 
 
 def clear_models() -> None:
-    global _MODELS
+    global _MODELS, _MODELS_KEY
     with _CACHE_LOCK:
         _MODELS = None
+        _MODELS_KEY = None

@@ -34,6 +34,7 @@ class MicroBatchServer:
         self._q: "queue.Queue[Tuple[BatchRequest, Dict, Future]]" = (
             queue.Queue())
         self._stop = threading.Event()
+        self._submit_lock = threading.Lock()  # orders submit vs shutdown
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="echo-batch-executor")
         self._thread.start()
@@ -41,15 +42,19 @@ class MicroBatchServer:
     def submit(self, request: BatchRequest,
                sampler_params: Optional[Dict] = None) -> "Future[BatchResult]":
         """Thread-safe; returns a Future resolving to a BatchResult."""
-        if self._stop.is_set():
-            raise RuntimeError("server is shut down")
-        fut: Future = Future()
-        self._q.put((request, dict(sampler_params or {}), fut))
-        return fut
+        with self._submit_lock:
+            # check-then-put under the same lock as shutdown's set-then-put,
+            # so no request can land behind the stop sentinel unserviced
+            if self._stop.is_set():
+                raise RuntimeError("server is shut down")
+            fut: Future = Future()
+            self._q.put((request, dict(sampler_params or {}), fut))
+            return fut
 
     def shutdown(self, wait: bool = True) -> None:
-        self._stop.set()
-        self._q.put(None)  # wake the loop
+        with self._submit_lock:
+            self._stop.set()
+            self._q.put(None)  # wake the loop
         if wait:
             self._thread.join()
 

@@ -11,10 +11,13 @@ the conv stacks have a bounded receptive field, autoencoder.py:744-802,
 First-audio latency is therefore one block (~7.5 s of audio at defaults)
 instead of the whole utterance.
 
-`decode_context` trades exactness for compute: context >= the codec's
-receptive field makes streamed audio sample-identical to the full decode;
-the default 256 latents (~12 s) covers the conv stacks and two transformer
-windows and is indistinguishable in practice.
+`decode_context` trades exactness for compute.  The codec's receptive
+field is dominated by the post_module: 8 causal layers of window-128
+attention stack to ~8*127 ≈ 1016 latents (autoencoder.py:744-802), plus a
+few latents for the conv stacks — so the default 1152 makes streamed audio
+sample-identical to the one-shot decode for any prefix (tested).  Smaller
+values (e.g. 256) cut decode compute ~proportionally at the cost of tiny
+boundary differences deep in the attention tail.
 """
 from __future__ import annotations
 
@@ -51,7 +54,7 @@ def stream_synthesize(
     seed: int = 0,
     sampler_params: Optional[Dict] = None,
     continuation_latent: Optional[np.ndarray] = None,
-    decode_context: int = 256,
+    decode_context: int = 1152,
 ) -> Iterator[StreamChunk]:
     """Yield audio block-by-block for one utterance."""
     p = dict(SAMPLER_DEFAULTS)
