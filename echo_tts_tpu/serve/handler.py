@@ -33,6 +33,7 @@ from ..config import SAMPLER_DEFAULTS
 from ..pipeline import audio_io, dsp
 from ..pipeline.pipeline import EchoModels, sample_pipeline
 from ..sampler.euler import sample_euler_cfg_independent_guidances
+from ..utils.profiling import StageTimer
 from . import models as models_mod
 from .config import AUDIO_EXTENSIONS, ServeConfig, device_info, load_config, scan_voices
 from .storage import save_and_upload_audio
@@ -110,6 +111,7 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
     """Main synthesis path (reference: handler.py:682-803)."""
     request_id = job_input.get("request_id") or uuid.uuid4().hex[:12]
     t_start = time.time()
+    timer = StageTimer()
     cfg = cfg or load_config()
 
     text = job_input.get("text")
@@ -127,15 +129,18 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
         job_input.get("parameters"), preset=job_input.get("preset"))
 
     if models is None:
-        models = models_mod.load_models(
-            cfg.model_dir, allow_random=bool(job_input.get("_allow_random")))
+        with timer.stage("model_load"):
+            models = models_mod.load_models(
+                cfg.model_dir,
+                allow_random=bool(job_input.get("_allow_random")))
 
     speaker_audio = None
     speaker_bucket = None
     voice_name = job_input.get("speaker_voice")
     if voice_name:
         path = _resolve_voice(cfg, voice_name)
-        speaker_audio = audio_io.load_audio(path)
+        with timer.stage("voice_load"):
+            speaker_audio = audio_io.load_audio(path)
         # Static-shape bucketing so one voice length compiles once
         # (reference: gradio_app.py:128-155,229-247)
         from .presets import pick_speaker_bucket
@@ -152,30 +157,48 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
     if not chunks:
         raise ValueError("text is empty after normalization")
 
+    # Optional latency feature: bound generation length per chunk by the
+    # text's estimated duration (bucketed), instead of the reference's
+    # always-640-then-crop. Off by default — it changes sampling shapes
+    # and therefore outputs for a given seed.
+    auto_seq = bool(job_input.get("auto_sequence_length", False))
+
     seed = int(job_input.get("seed", 0))
     audio_chunks: List[np.ndarray] = []
     for idx, chunk in enumerate(chunks):
-        chunk_audio, _ = sample_pipeline(
-            models, sample_fn, chunk, speaker_audio,
-            rng_seed=seed + idx * SEED_STRIDE,
-            pad_to_max_speaker_latent_length=speaker_bucket)
+        chunk_fn = sample_fn
+        if auto_seq:
+            from .presets import pick_sequence_bucket
+            bucket = pick_sequence_bucket(
+                chunk, sample_params["sequence_length"])
+            chunk_fn, _ = build_sample_fn(
+                {**(job_input.get("parameters") or {}),
+                 "sequence_length": bucket},
+                preset=job_input.get("preset"))
+        with timer.stage("synthesis"):
+            chunk_audio, _ = sample_pipeline(
+                models, chunk_fn, chunk, speaker_audio,
+                rng_seed=seed + idx * SEED_STRIDE,
+                pad_to_max_speaker_latent_length=speaker_bucket)
         audio_chunks.append(np.asarray(chunk_audio))
         log.info("[%s] chunk %d/%d done (%.1fs audio)", request_id, idx + 1,
                  len(chunks), chunk_audio.shape[-1] / SAMPLE_RATE)
 
-    if len(audio_chunks) == 1 or boundary_mode == "none":
-        audio = np.concatenate(audio_chunks, axis=-1)
-    elif boundary_mode == "crossfade":
-        audio = dsp.crossfade_chunks(audio_chunks)
-    else:  # "normalize" (validated above)
-        audio = dsp.normalize_chunk_boundaries(audio_chunks)
+    with timer.stage("host_dsp"):
+        if len(audio_chunks) == 1 or boundary_mode == "none":
+            audio = np.concatenate(audio_chunks, axis=-1)
+        elif boundary_mode == "crossfade":
+            audio = dsp.crossfade_chunks(audio_chunks)
+        else:  # "normalize" (validated above)
+            audio = dsp.normalize_chunk_boundaries(audio_chunks)
 
     if audio.ndim == 1:
         audio = audio[None, :]
 
-    upload = save_and_upload_audio(
-        audio, SAMPLE_RATE, cfg, request_id,
-        session_id=job_input.get("session_id"))
+    with timer.stage("encode_upload"):
+        upload = save_and_upload_audio(
+            audio, SAMPLE_RATE, cfg, request_id,
+            session_id=job_input.get("session_id"))
 
     return {
         "status": "success",
@@ -190,6 +213,9 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
             "speaker_voice": voice_name,
             "device": device_info()["platform"],
             "generation_time_seconds": round(time.time() - t_start, 3),
+            "stage_timings": timer.report(),
+            "rtf": round((audio.shape[-1] / SAMPLE_RATE)
+                         / max(time.time() - t_start, 1e-9), 4),
         },
     }
 

@@ -24,6 +24,27 @@ PRESETS_PATH = os.path.join(os.path.dirname(__file__),
 
 TEXT_BUCKETS = "768"
 SPEAKER_BUCKETS = "640, 2816, 6400"
+# Generation-length buckets for auto_sequence_length (latents; 640 ≈ 29.7 s)
+SEQUENCE_BUCKETS = "160, 320, 480, 640"
+
+# Host-side speech-rate heuristic shared with the chunker
+# (reference: handler.py:109 target_chars = duration * 12)
+CHARS_PER_SECOND = 12.0
+LATENTS_PER_SECOND = 44100.0 / 2048.0
+
+
+def pick_sequence_bucket(text: str, max_sequence_length: int,
+                         margin: float = 1.5,
+                         buckets: str = SEQUENCE_BUCKETS) -> int:
+    """Latency feature (off by default in the handler): bound the
+    generation length by the text's estimated speech duration instead of
+    always generating the full sequence and cropping.  margin=1.5 leaves
+    headroom for slow delivery; the end-of-speech crop still trims the
+    tail (inference.py:288-301 semantics unchanged)."""
+    est_seconds = max(len(text), 1) / CHARS_PER_SECOND
+    est_latents = int(est_seconds * LATENTS_PER_SECOND * margin)
+    bucket = find_min_bucket_gte(buckets, est_latents)
+    return min(bucket, max_sequence_length)
 
 
 @functools.lru_cache(maxsize=1)
