@@ -1,0 +1,79 @@
+"""Minimal training loop around the sharded flow-matching step.
+
+The reference is inference-only; this loop makes the training side of the
+framework usable end-to-end: batches from any iterator of host arrays,
+mesh-sharded updates, periodic orbax checkpoints of params, and stage
+timing.  Data preparation (audio -> DAC-PCA latents) is the codec encode
+path this framework already has (pipeline.ae_encode); assemble batches as
+
+    {"latents": (B, S, 80) f32, "text_ids": (B, T) i32,
+     "text_mask": (B, T) bool, "speaker_latent": (B, Sp, 80) f32,
+     "speaker_mask": (B, Sp) bool}
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..config import EchoDiTConfig
+from ..utils.profiling import StageTimer
+from .step import TrainState, create_train_state, make_optimizer, make_train_step
+
+log = logging.getLogger("echo_tts_tpu.train")
+
+
+def save_params(path: str, params: dict, step: int) -> None:
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(os.path.join(os.path.abspath(path), f"step_{step:08d}"),
+              params)
+
+
+def train(
+    cfg: EchoDiTConfig,
+    params: dict,
+    batches: Iterable[dict],
+    mesh: Mesh,
+    *,
+    num_steps: int,
+    lr: float = 1e-4,
+    weight_decay: float = 0.01,
+    dtype=jnp.bfloat16,
+    rng: Optional[jax.Array] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 1000,
+    log_every: int = 50,
+    on_step: Optional[Callable[[int, float], None]] = None,
+) -> TrainState:
+    """Run `num_steps` updates; returns the final TrainState."""
+    tx = make_optimizer(lr=lr, weight_decay=weight_decay)
+    state = create_train_state(params, tx, mesh, cfg.blockwise)
+    step_fn, place_batch = make_train_step(cfg, tx, mesh, dtype=dtype)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    timer = StageTimer()
+    it = iter(batches)
+    t0 = time.time()
+    for i in range(num_steps):
+        with timer.stage("data"):
+            batch = place_batch(next(it))
+        rng, step_rng = jax.random.split(rng)
+        with timer.stage("step"):
+            state, loss = step_fn(state, batch, step_rng)
+        if on_step is not None:
+            on_step(i, float(loss))
+        if (i + 1) % log_every == 0:
+            log.info("step %d loss %.4f (%.2f steps/s)", i + 1, float(loss),
+                     (i + 1) / (time.time() - t0))
+        if checkpoint_dir and (i + 1) % checkpoint_every == 0:
+            with timer.stage("checkpoint"):
+                save_params(checkpoint_dir, state.params, int(state.step))
+    log.info("training done: %s", timer.report())
+    return state
