@@ -553,6 +553,7 @@ def dit_forward(
     kv_latent: Optional[KV] = None,
     latent_mask: Optional[jnp.ndarray] = None,
     speaker_scale_by_layer: Optional[jnp.ndarray] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """One denoiser forward (reference: model.py:563-604).
 
@@ -560,6 +561,8 @@ def dit_forward(
     text_mask/speaker_mask: (G*B, S_seg) bool.  kv_*: (L, B, ...).
     speaker_scale_by_layer: (L,) multiplicative speaker-KV scale (functional
     replacement for the reference's in-place cache scaling).
+    remat: rematerialize each layer on the backward pass (training at full
+    size would otherwise save every layer's attention internals).
     Returns float32 (model.py:604).
     """
     s = x.shape[1]
@@ -609,7 +612,7 @@ def dit_forward(
         h = h + gate * _mlp(p["mlp"], h_norm)
         return h, None
 
-    h, _ = jax.lax.scan(body, h, xs)
+    h, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, h, xs)
 
     h = rms_norm(h, params["out_norm"], cfg.norm_eps)
     h = h @ params["out_proj"]["kernel"] + params["out_proj"]["bias"]

@@ -62,7 +62,8 @@ def flow_matching_loss(
         params, cfg, batch["speaker_latent"].astype(dtype))
     v_pred = dit.dit_forward(
         params, cfg, x_t.astype(dtype), t.astype(dtype),
-        batch["text_mask"], batch["speaker_mask"], kv_text, kv_speaker)
+        batch["text_mask"], batch["speaker_mask"], kv_text, kv_speaker,
+        remat=True)
     return jnp.mean(jnp.square(v_pred - v_target))
 
 
