@@ -101,6 +101,93 @@ def fits_vmem(s: int, t_static: int, head_dim: int,
     return logits + kv + q_out < budget_bytes
 
 
+def _pallas_attention(qt, kst, vst, ktt, vtt, bias, col_scale,
+                      *, sm_scale: float, interpret: bool) -> jnp.ndarray:
+    """The raw pallas_call on transposed (batch, H, seq, Dh) layout."""
+    gb, h, s, dh = qt.shape
+    b, _, t_pad, _ = ktt.shape
+    return pl.pallas_call(
+        functools.partial(_kernel, sm_scale=sm_scale),
+        grid=(gb, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, dh),
+                         lambda bi, hi: (bi % b, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, dh),
+                         lambda bi, hi: (bi % b, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, t_pad), lambda bi, hi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad), lambda bi, hi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gb, h, s, dh), qt.dtype),
+        interpret=interpret,
+    )(qt, kst, vst, ktt, vtt, bias, col_scale)
+
+
+def _xla_attention(qt, kst, vst, ktt, vtt, bias, col_scale,
+                   *, sm_scale: float) -> jnp.ndarray:
+    """XLA einsum twin of `_kernel` on the same transposed layout — used as
+    the differentiable reference for the custom VJP (the backward pass
+    recomputes through this, i.e. rematerialized attention grads)."""
+    gb, h, s, dh = qt.shape
+    b = ktt.shape[0]
+    g = gb // b
+    qg = qt.reshape(g, b, h, s, dh)
+    ls = jnp.einsum("gbhsd,gbhtd->gbhst", qg, kst.reshape(g, b, h, s, dh),
+                    preferred_element_type=jnp.float32) * sm_scale
+    lt = jnp.einsum("gbhsd,bhtd->gbhst", qg, ktt,
+                    preferred_element_type=jnp.float32) * sm_scale
+    lt = lt * col_scale[0] + bias.reshape(g, b, 1, 1, -1)
+    m = jnp.maximum(jnp.max(ls, axis=-1, keepdims=True),
+                    jnp.max(lt, axis=-1, keepdims=True))
+    e_self = jnp.exp(ls - m)
+    e_st = jnp.exp(lt - m)
+    denom = (jnp.sum(e_self, axis=-1, keepdims=True)
+             + jnp.sum(e_st, axis=-1, keepdims=True))
+    acc = jnp.einsum("gbhst,gbhtd->gbhsd", e_self.astype(vst.dtype),
+                     vst.reshape(g, b, h, s, dh),
+                     preferred_element_type=jnp.float32)
+    acc = acc + jnp.einsum("gbhst,bhtd->gbhsd",
+                           (e_st * col_scale[0]).astype(vtt.dtype), vtt,
+                           preferred_element_type=jnp.float32)
+    return (acc / denom).astype(qt.dtype).reshape(gb, h, s, dh)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_fn(sm_scale: float, interpret: bool):
+    """custom_vjp wrapper: Pallas forward, XLA-recompute backward.  Without
+    this, differentiating through the kernel raises (pallas_call has no
+    reverse-mode rule) — e.g. training on a single chip where the auto
+    dispatch picks the fused path."""
+
+    @jax.custom_vjp
+    def fused(qt, kst, vst, ktt, vtt, bias, col_scale):
+        return _pallas_attention(qt, kst, vst, ktt, vtt, bias, col_scale,
+                                 sm_scale=sm_scale, interpret=interpret)
+
+    def fwd(qt, kst, vst, ktt, vtt, bias, col_scale):
+        out = fused(qt, kst, vst, ktt, vtt, bias, col_scale)
+        return out, (qt, kst, vst, ktt, vtt, bias, col_scale)
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(
+            functools.partial(_xla_attention, sm_scale=sm_scale), *res)
+        return vjp(ct)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
 def fused_joint_attention(
     q: jnp.ndarray,        # (GB, S, H, Dh) — rope/norm already applied
     k_self: jnp.ndarray,   # (GB, S, H, Dh)
@@ -136,31 +223,7 @@ def fused_joint_attention(
     ktt = k_static.transpose(0, 2, 1, 3)
     vtt = v_static.transpose(0, 2, 1, 3)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, sm_scale=sm_scale),
-        grid=(gb, h),
-        in_specs=[
-            pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad, dh),
-                         lambda bi, hi: (bi % b, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad, dh),
-                         lambda bi, hi: (bi % b, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, t_pad), lambda bi, hi: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad), lambda bi, hi: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((gb, h, s, dh), q.dtype),
-        interpret=interpret,
-    )(qt, kst, vst, ktt, vtt, bias, col_scale)
+    out = _fused_fn(sm_scale, interpret)(
+        qt, kst, vst, ktt, vtt, bias, col_scale)
 
     return out.transpose(0, 2, 1, 3)  # back to (GB, S, H, Dh)

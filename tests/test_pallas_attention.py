@@ -96,6 +96,45 @@ def test_dit_forward_pallas_with_latent_and_speaker_scale(params):
                                atol=2e-5, rtol=1e-4)
 
 
+def test_dit_forward_static_pallas_matches_xla(params):
+    """The hot serving path: dit_forward_static through the Pallas kernel,
+    with a non-unity per-layer speaker scale and a non-lane-multiple T
+    (text 24 + speaker 16/4 = 28 static columns)."""
+    x, t, tm, sm, ids, spk = _inputs()
+    kvt = dit.get_kv_cache_text(params, CFG_X, ids, tm[:2])
+    kvs = dit.get_kv_cache_speaker(params, CFG_X, spk)
+    kv_static, spk_cols = dit.concat_static_kv(CFG_X, kvt, kvs)
+    static_mask = dit.static_attention_mask(CFG_X, tm, sm)
+    sc = jnp.linspace(1.0, 1.8, CFG_X.num_layers).astype(jnp.float32)
+    kw = dict(speaker_scale_by_layer=sc)
+    out_x = dit.dit_forward_static(params, CFG_X, x, t, kv_static,
+                                   spk_cols, static_mask, **kw)
+    out_p = dit.dit_forward_static(params, CFG_P, x, t, kv_static,
+                                   spk_cols, static_mask, **kw)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_p),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_grad_through_pallas_attention(params):
+    """Training must be able to differentiate the fused kernel: the custom
+    VJP recomputes the backward through the XLA twin.  Regression for the
+    single-chip training crash (pallas_call has no reverse-mode rule)."""
+    x, t, tm, sm, ids, spk = _inputs()
+
+    def loss(params, cfg):
+        kvt = dit.get_kv_cache_text(params, cfg, ids, tm[:2])
+        kvs = dit.get_kv_cache_speaker(params, cfg, spk)
+        v = dit.dit_forward(params, cfg, x, t, tm, sm, kvt, kvs)
+        return jnp.mean(v ** 2)
+
+    lx, gx = jax.value_and_grad(loss)(params, CFG_X)
+    lp, gp = jax.value_and_grad(loss)(params, CFG_P)
+    np.testing.assert_allclose(float(lx), float(lp), rtol=1e-5)
+    wq_x = np.asarray(gx["blocks"]["attn"]["wq"])
+    wq_p = np.asarray(gp["blocks"]["attn"]["wq"])
+    np.testing.assert_allclose(wq_x, wq_p, atol=3e-5, rtol=1e-3)
+
+
 def test_fits_vmem_guard():
     assert fits_vmem(640, 768 + 1600, 128)        # published worst case
     assert not fits_vmem(4096, 100_000, 128)      # absurd shapes fall back
