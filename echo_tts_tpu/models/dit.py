@@ -55,7 +55,12 @@ from ..config import EchoDiTConfig
 from ..ops.attention import sdpa
 from ..ops.embeddings import get_timestep_embedding
 from ..ops.norms import low_rank_adaln, rms_norm
-from ..ops.pallas.joint_attention import fits_vmem, fused_joint_attention
+from ..ops.pallas.joint_attention import (
+    fits_vmem,
+    fused_joint_attention,
+    fused_joint_attention_sharded,
+    shardable,
+)
 from ..ops.rope import (
     apply_rotary_emb,
     apply_rotary_emb_half_heads,
@@ -284,17 +289,39 @@ def latent_prefix_mask(batch_size: int, num_latents: int, start_pos: int,
 # ---------------------------------------------------------------------------
 
 def _select_attention_impl(cfg: EchoDiTConfig, s: int, t_static: int,
-                           head_dim: int) -> str:
-    """Resolve cfg.attention_impl at trace time.  "auto" picks the fused
-    Pallas kernel on a SINGLE accelerator when the (S, T) logits fit VMEM;
-    on CPU (tests, parity) and under multi-device meshes (GSPMD has no
-    partitioning rule for the Mosaic kernel — the TP/DP path must stay on
-    the partitionable einsums) it uses the XLA path."""
+                           head_dim: int, *, mesh=None,
+                           kv_batch: Optional[int] = None) -> str:
+    """Resolve cfg.attention_impl at trace time.
+
+    "auto" picks the fused Pallas kernel on a single accelerator when the
+    (S, T) logits fit VMEM.  Under a mesh (caller passes the
+    (data, model) Mesh it placed the arrays on) the kernel runs per shard
+    through shard_map — fused_joint_attention_sharded — provided batch and
+    heads divide the mesh axes evenly.  On CPU (tests, parity) the kernel
+    runs in interpreter mode.  Multi-device WITHOUT an explicit mesh falls
+    back to the partitionable XLA einsums (GSPMD cannot partition a Mosaic
+    kernel on its own)."""
     if cfg.attention_impl == "xla":
         return "xla"
     on_cpu = jax.default_backend() == "cpu"
+    suffix = "_interpret" if on_cpu else ""
+    if mesh is not None:
+        ok = (shardable(mesh, kv_batch, cfg.num_heads, "data", "model")
+              and fits_vmem(s, t_static, head_dim))
+        if cfg.attention_impl == "pallas":
+            if not ok:
+                raise ValueError(
+                    "attention_impl='pallas' under a mesh needs batch % "
+                    "data and num_heads % model to be 0, and the (S, T) "
+                    f"block to fit VMEM; got batch={kv_batch}, "
+                    f"heads={cfg.num_heads}, mesh={dict(mesh.shape)}, "
+                    f"fits_vmem={fits_vmem(s, t_static, head_dim)}")
+            return "pallas_shmap" + suffix
+        # auto: fused per-shard kernel on real chips, XLA on CPU (the
+        # interpreter is for correctness tests only, never a default).
+        return "pallas_shmap" if ok and not on_cpu else "xla"
     if cfg.attention_impl == "pallas":
-        return "pallas_interpret" if on_cpu else "pallas"
+        return "pallas" + suffix
     if (not on_cpu and jax.device_count() == 1
             and fits_vmem(s, t_static, head_dim)):
         return "pallas"
@@ -315,6 +342,7 @@ def _joint_attention(
     num_heads: int,
     eps: float,
     impl: str = "xla",
+    mesh=None,
 ) -> jnp.ndarray:
     """DiT joint attention over [self, latent-prefix, text, speaker] segments
     (reference: model.py:204-268).
@@ -360,9 +388,15 @@ def _joint_attention(
         k_static = jnp.concatenate(k_parts, axis=1)
         v_static = jnp.concatenate(v_parts, axis=1)
         static_mask = jnp.concatenate(m_parts, axis=-1)
-        out = fused_joint_attention(
-            q, k_self, v_self, k_static, v_static, static_mask,
-            sm_scale=scale, interpret=(impl == "pallas_interpret"))
+        interp = impl.endswith("_interpret")
+        if impl.startswith("pallas_shmap"):
+            out = fused_joint_attention_sharded(
+                q, k_self, v_self, k_static, v_static, static_mask,
+                sm_scale=scale, mesh=mesh, interpret=interp)
+        else:
+            out = fused_joint_attention(
+                q, k_self, v_self, k_static, v_static, static_mask,
+                sm_scale=scale, interpret=interp)
         out = out.reshape(gb, s, d)
         out = out * jax.nn.sigmoid(gate)
         return out @ p["wo"]
@@ -434,6 +468,7 @@ def _joint_attention_static(
     num_heads: int,
     eps: float,
     impl: str,
+    mesh=None,
 ) -> jnp.ndarray:
     """Joint attention over [self | pre-concatenated static KV] — the hot
     sampler path.  Same math as _joint_attention, but text/speaker/latent
@@ -457,9 +492,15 @@ def _joint_attention_static(
     k_self = apply_rotary_emb_half_heads(k_self, freqs_q)
 
     if impl.startswith("pallas"):
-        out = fused_joint_attention(
-            q, k_self, v_self, k_static, v_static, static_mask, col_scale,
-            sm_scale=scale, interpret=(impl == "pallas_interpret"))
+        interp = impl.endswith("_interpret")
+        if impl.startswith("pallas_shmap"):
+            out = fused_joint_attention_sharded(
+                q, k_self, v_self, k_static, v_static, static_mask,
+                col_scale, sm_scale=scale, mesh=mesh, interpret=interp)
+        else:
+            out = fused_joint_attention(
+                q, k_self, v_self, k_static, v_static, static_mask,
+                col_scale, sm_scale=scale, interpret=interp)
         out = out.reshape(gb, s, d)
         return (out * jax.nn.sigmoid(gate)) @ p["wo"]
 
@@ -496,14 +537,17 @@ def dit_forward_static(
     *,
     start_pos: int = 0,
     speaker_scale_by_layer: Optional[jnp.ndarray] = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Denoiser forward over pre-concatenated static KV — what the sampler
     cores call per step (reference semantics identical to dit_forward;
-    see _joint_attention_static)."""
+    see _joint_attention_static).  Pass `mesh` when params/inputs live on a
+    (data, model) mesh so the fused attention runs per shard."""
     s = x.shape[1]
     freqs_q = _freqs(cfg.head_dim, start_pos + s)[start_pos:]
     t_static = kv_static[0].shape[2]
-    impl = _select_attention_impl(cfg, s, t_static, cfg.head_dim)
+    impl = _select_attention_impl(cfg, s, t_static, cfg.head_dim,
+                                  mesh=mesh, kv_batch=kv_static[0].shape[1])
 
     cond = get_timestep_embedding(t, cfg.timestep_embed_size)
     c = params["cond"]
@@ -528,7 +572,7 @@ def dit_forward_static(
         h = h + gate * _joint_attention_static(
             p["attn"], h_norm, static_mask, col_scale, freqs_q,
             xs_i["k_st"], xs_i["v_st"],
-            num_heads=cfg.num_heads, eps=cfg.norm_eps, impl=impl)
+            num_heads=cfg.num_heads, eps=cfg.norm_eps, impl=impl, mesh=mesh)
         h_norm, gate = low_rank_adaln(h, cond, p["mlp_adaln"], cfg.norm_eps)
         h = h + gate * _mlp(p["mlp"], h_norm)
         return h, None
@@ -554,6 +598,7 @@ def dit_forward(
     latent_mask: Optional[jnp.ndarray] = None,
     speaker_scale_by_layer: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    mesh=None,
 ) -> jnp.ndarray:
     """One denoiser forward (reference: model.py:563-604).
 
@@ -573,7 +618,8 @@ def dit_forward(
 
     t_static = (kv_text[0].shape[2] + kv_speaker[0].shape[2]
                 + (kv_latent[0].shape[2] if kv_latent is not None else 0))
-    impl = _select_attention_impl(cfg, x.shape[1], t_static, cfg.head_dim)
+    impl = _select_attention_impl(cfg, x.shape[1], t_static, cfg.head_dim,
+                                  mesh=mesh, kv_batch=kv_text[0].shape[1])
 
     cond = get_timestep_embedding(t, cfg.timestep_embed_size)
     c = params["cond"]
@@ -606,7 +652,7 @@ def dit_forward(
             p["attn"], h_norm, text_mask, spk_mask, latent_mask, freqs_q,
             (xs_i["k_text"], xs_i["v_text"]), (xs_i["k_spk"], xs_i["v_spk"]),
             kv_lat, xs_i["spk_scale"],
-            num_heads=cfg.num_heads, eps=cfg.norm_eps, impl=impl,
+            num_heads=cfg.num_heads, eps=cfg.norm_eps, impl=impl, mesh=mesh,
         )
         h_norm, gate = low_rank_adaln(h, cond, p["mlp_adaln"], cfg.norm_eps)
         h = h + gate * _mlp(p["mlp"], h_norm)

@@ -227,3 +227,71 @@ def fused_joint_attention(
         qt, kst, vst, ktt, vtt, bias, col_scale)
 
     return out.transpose(0, 2, 1, 3)  # back to (GB, S, H, Dh)
+
+
+def shardable(mesh, kv_batch: int, num_heads: int,
+              data_axis: str, model_axis: str) -> bool:
+    """shard_map needs even per-shard blocks: batch divisible by the data
+    axis, heads by the model axis."""
+    dp = mesh.shape.get(data_axis, 1)
+    tp = mesh.shape.get(model_axis, 1)
+    return kv_batch % dp == 0 and num_heads % tp == 0
+
+
+def fused_joint_attention_sharded(
+    q: jnp.ndarray,        # (GB, S, H, Dh)
+    k_self: jnp.ndarray,
+    v_self: jnp.ndarray,
+    k_static: jnp.ndarray,   # (B, T, H, Dh)
+    v_static: jnp.ndarray,
+    static_mask: jnp.ndarray,  # (GB, T) bool
+    col_scale: Optional[jnp.ndarray] = None,  # (T,) f32
+    *,
+    sm_scale: float,
+    mesh,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the fused kernel per mesh shard via shard_map: batch shards over
+    `data`, heads over `model`; the kernel itself is embarrassingly parallel
+    over its (batch, head) grid, so no cross-shard collectives are needed.
+
+    The (G*B) query batch is un-flattened to a replicated G axis so that
+    sharding B over `data` keeps all G guidance branches of a given batch
+    row on the same shard (the flat G-major GB axis would split branches,
+    breaking the kernel's b %% B static-KV broadcast).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    gb, s, h, dh = q.shape
+    b, t = k_static.shape[:2]
+    g = gb // b
+    if col_scale is None:
+        col_scale = jnp.ones((t,), jnp.float32)
+
+    qspec = P(None, data_axis, None, model_axis, None)
+    kvspec = P(data_axis, None, model_axis, None)
+    mspec = P(None, data_axis, None)
+
+    def local(qg, ksg, vsg, kst, vst, mg, cs):
+        g_, b_, s_, h_, dh_ = qg.shape
+        out = fused_joint_attention(
+            qg.reshape(g_ * b_, s_, h_, dh_),
+            ksg.reshape(g_ * b_, s_, h_, dh_),
+            vsg.reshape(g_ * b_, s_, h_, dh_),
+            kst, vst, mg.reshape(g_ * b_, -1), cs,
+            sm_scale=sm_scale, interpret=interpret)
+        return out.reshape(g_, b_, s_, h_, dh_)
+
+    out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(qspec, qspec, qspec, kvspec, kvspec, mspec, P(None)),
+        out_specs=qspec,
+        # pallas_call's out_shape carries no varying-mesh-axes (vma) info;
+        # the body is per-shard pure (no collectives), so skip the check.
+        check_vma=False,
+    )(q.reshape(g, b, s, h, dh), k_self.reshape(g, b, s, h, dh),
+      v_self.reshape(g, b, s, h, dh), k_static, v_static,
+      static_mask.reshape(g, b, t), col_scale)
+    return out.reshape(gb, s, h, dh)

@@ -141,6 +141,7 @@ def run_step_segments(
     speaker_kv_max_layers: Optional[int],
     dtype,
     start_pos: int = 0,
+    mesh=None,
 ) -> jnp.ndarray:
     """The Euler hot loop shared by the flat and blockwise samplers: one
     lax.scan per contiguous CFG-on/off segment of the step plan, over the
@@ -163,7 +164,7 @@ def run_step_segments(
                       dtype=jnp.float32).astype(dtype)
         v = dit.dit_forward_static(
             params, cfg, x3, t3, kv_static, spk_cols, mask_cfg,
-            start_pos=start_pos,
+            start_pos=start_pos, mesh=mesh,
             speaker_scale_by_layer=step_scales(step["spk"]))
         v_c, v_ut, v_us = jnp.split(v, 3, axis=0)
         v = v_c + s_text * (v_c - v_ut) + s_spk * (v_c - v_us)
@@ -175,7 +176,7 @@ def run_step_segments(
                       dtype=jnp.float32).astype(dtype)
         v = dit.dit_forward_static(
             params, cfg, x.astype(dtype), t1, kv_static, spk_cols,
-            mask_plain, start_pos=start_pos,
+            mask_plain, start_pos=start_pos, mesh=mesh,
             speaker_scale_by_layer=step_scales(step["spk"]))
         v = step["c1"] * v + step["c2"] * x
         return x + v * step["dt"], None
@@ -207,6 +208,7 @@ def _euler_core(
     speaker_kv_max_layers: Optional[int],
     speaker_kv_min_t: Optional[float],
     dtype,
+    mesh=None,
 ):
     """Build the jitted sampler core for one static configuration.
 
@@ -239,7 +241,8 @@ def _euler_core(
             params, cfg, x_t, plan, kv_static, spk_cols, mask_cfg,
             mask_plain, cfg_scale_text=cfg_scale_text,
             cfg_scale_speaker=cfg_scale_speaker,
-            speaker_kv_max_layers=speaker_kv_max_layers, dtype=dtype)
+            speaker_kv_max_layers=speaker_kv_max_layers, dtype=dtype,
+            mesh=mesh)
 
     return run
 
@@ -267,11 +270,15 @@ def sample_euler_cfg_independent_guidances(
     dtype=jnp.bfloat16,
     initial_noise: Optional[jnp.ndarray] = None,
     rng_key: Optional[jax.Array] = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Returns latents (B, sequence_length, latent_size) float32.
 
     Exactly one of `initial_noise` (f32, matching the reference's fp32 x_t,
-    inference.py:477) or `rng_key` must be provided.
+    inference.py:477) or `rng_key` must be provided.  Pass `mesh` when the
+    params/inputs were placed on a (data, model) mesh
+    (parallel/inference.py) so the fused attention stays per-shard Pallas
+    instead of falling back to XLA einsums.
     """
     batch_size = text_input_ids.shape[0]
     if initial_noise is None:
@@ -290,6 +297,7 @@ def sample_euler_cfg_independent_guidances(
         None if speaker_kv_scale is None else float(speaker_kv_scale),
         speaker_kv_max_layers,
         None if speaker_kv_min_t is None else float(speaker_kv_min_t),
-        jnp.dtype(dtype))  # np.dtype: hashable cache key, valid for astype
+        jnp.dtype(dtype),  # np.dtype: hashable cache key, valid for astype
+        mesh)              # jax.sharding.Mesh is hashable
     return core(params, speaker_latent, speaker_mask, text_input_ids,
                 text_mask, initial_noise)

@@ -74,6 +74,33 @@ def test_tp_sampler_matches_single_device():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_tp_sampler_pallas_shard_map_matches_xla():
+    """The fused Pallas attention must survive a dp4 x tp2 mesh: forced
+    attention_impl='pallas' resolves to the shard_map kernel (interpret
+    mode on CPU) and matches the unsharded XLA sampler."""
+    import dataclasses
+    models = _models()
+    cfg_p = dataclasses.replace(models.dit_cfg, attention_impl="pallas")
+    spk, sm, ids, tm, noise = _sample(models, b=4)
+    kwargs = dict(num_steps=2, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
+                  cfg_min_t=0.5, cfg_max_t=1.0, sequence_length=8,
+                  dtype=models.dtype)
+
+    ref = sample_euler_cfg_independent_guidances(
+        models.dit_params, models.dit_cfg, spk, sm, ids, tm,
+        initial_noise=noise, **kwargs)
+
+    mesh = pmesh.make_mesh(dp=4, tp=2)
+    sharded = pinf.shard_models(models, mesh)
+    s_spk, s_sm, s_ids, s_tm, s_noise = pinf.place_request(
+        mesh, spk, sm, ids, tm, noise)
+    got = sample_euler_cfg_independent_guidances(
+        sharded.dit_params, cfg_p, s_spk, s_sm, s_ids, s_tm,
+        initial_noise=s_noise, mesh=mesh, **kwargs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_sharded_train_step_runs_and_reduces_loss():
     """The full training step compiles + executes on a dp4 x tp2 mesh and
     the loss is finite and reproducible across steps."""
