@@ -124,7 +124,8 @@ class DemoSession:
             actual_text = len(text_prompt.encode("utf-8")) + 1  # BOS
             pad_text = find_min_bucket_gte(max_text_byte_length, actual_text)
             if speaker_audio is not None:
-                actual_spk = (speaker_audio.shape[-1] // spl) // 4 * 4
+                ps = models.dit_cfg.speaker_patch_size
+                actual_spk = (speaker_audio.shape[-1] // spl) // ps * ps
             else:
                 actual_spk = 0
             pad_spk = find_min_bucket_gte(max_speaker_latent_length,

@@ -89,6 +89,9 @@ def flattening_point(data: np.ndarray, target: float = 0.0,
     data = np.ascontiguousarray(data, dtype=np.float32)
     if data.ndim == 1:
         data = data[:, None]
+    elif data.ndim > 2:
+        # match the numpy fallback, which flattens trailing feature dims
+        data = data.reshape(len(data), -1)
     n, width = data.shape
     return int(lib.echo_flattening_point(
         _f32ptr(data), n, width, window,

@@ -53,3 +53,8 @@ def test_flattening_point_matches_numpy():
     idx = int(np.argmax(ok))
     expected = idx if ok[idx] else n
     assert got == expected
+
+    # ndim>=3 inputs flatten trailing feature dims like the numpy fallback
+    # instead of raising (regression: 'n, width = data.shape' ValueError)
+    got3 = native.flattening_point(data.reshape(50, 4, 2))
+    assert got3 == expected
