@@ -57,6 +57,7 @@ from ..ops.embeddings import get_timestep_embedding
 from ..ops.norms import low_rank_adaln, rms_norm
 from ..ops.pallas.joint_attention import (
     fits_vmem,
+    fits_vmem_flash,
     fused_joint_attention,
     fused_joint_attention_sharded,
     shardable,
@@ -284,6 +285,16 @@ def latent_prefix_mask(batch_size: int, num_latents: int, start_pos: int,
     return np.broadcast_to(positions < start_pos, (batch_size, num_latents))
 
 
+def latent_prefix_mask_dynamic(batch_size: int, num_latents: int,
+                               start_pos: jnp.ndarray,
+                               patch_size: int) -> jnp.ndarray:
+    """In-graph variant of latent_prefix_mask for a TRACED start_pos, so one
+    compiled block program serves every block position."""
+    positions = jnp.arange(num_latents) * patch_size
+    return jnp.broadcast_to(positions < start_pos,
+                            (batch_size, num_latents))
+
+
 # ---------------------------------------------------------------------------
 # Joint attention + DiT forward
 # ---------------------------------------------------------------------------
@@ -305,25 +316,28 @@ def _select_attention_impl(cfg: EchoDiTConfig, s: int, t_static: int,
         return "xla"
     on_cpu = jax.default_backend() == "cpu"
     suffix = "_interpret" if on_cpu else ""
+    # Whole-row kernel when the (S, T) logits fit VMEM, the blocked flash
+    # variant otherwise (fused_joint_attention auto-selects internally).
+    fits = (fits_vmem(s, t_static, head_dim)
+            or fits_vmem_flash(s, t_static, head_dim))
     if mesh is not None:
         ok = (shardable(mesh, kv_batch, cfg.num_heads, "data", "model")
-              and fits_vmem(s, t_static, head_dim))
+              and fits)
         if cfg.attention_impl == "pallas":
             if not ok:
                 raise ValueError(
                     "attention_impl='pallas' under a mesh needs batch % "
-                    "data and num_heads % model to be 0, and the (S, T) "
-                    f"block to fit VMEM; got batch={kv_batch}, "
+                    "data and num_heads % model to be 0, and the KV rows "
+                    f"to fit VMEM; got batch={kv_batch}, "
                     f"heads={cfg.num_heads}, mesh={dict(mesh.shape)}, "
-                    f"fits_vmem={fits_vmem(s, t_static, head_dim)}")
+                    f"fits={fits}")
             return "pallas_shmap" + suffix
         # auto: fused per-shard kernel on real chips, XLA on CPU (the
         # interpreter is for correctness tests only, never a default).
         return "pallas_shmap" if ok and not on_cpu else "xla"
     if cfg.attention_impl == "pallas":
         return "pallas" + suffix
-    if (not on_cpu and jax.device_count() == 1
-            and fits_vmem(s, t_static, head_dim)):
+    if not on_cpu and jax.device_count() == 1 and fits:
         return "pallas"
     return "xla"
 
@@ -535,16 +549,28 @@ def dit_forward_static(
     spk_cols: jnp.ndarray,        # (T,) bool
     static_mask: jnp.ndarray,     # (GB, T) bool (static_attention_mask)
     *,
-    start_pos: int = 0,
+    start_pos=0,
+    max_pos: Optional[int] = None,
     speaker_scale_by_layer: Optional[jnp.ndarray] = None,
     mesh=None,
 ) -> jnp.ndarray:
     """Denoiser forward over pre-concatenated static KV — what the sampler
     cores call per step (reference semantics identical to dit_forward;
     see _joint_attention_static).  Pass `mesh` when params/inputs live on a
-    (data, model) mesh so the fused attention runs per shard."""
+    (data, model) mesh so the fused attention runs per shard.
+
+    `start_pos` may be a Python int (static RoPE offset) or a traced int32
+    scalar — the latter needs `max_pos` (static upper bound on
+    start_pos + S) and lets one compiled program serve every block position
+    in the blockwise sampler."""
     s = x.shape[1]
-    freqs_q = _freqs(cfg.head_dim, start_pos + s)[start_pos:]
+    if isinstance(start_pos, (int, np.integer)):
+        freqs_q = _freqs(cfg.head_dim, start_pos + s)[start_pos:]
+    else:
+        if max_pos is None:
+            raise ValueError("traced start_pos requires static max_pos")
+        freqs_q = jax.lax.dynamic_slice_in_dim(
+            _freqs(cfg.head_dim, max_pos), start_pos, s, axis=0)
     t_static = kv_static[0].shape[2]
     impl = _select_attention_impl(cfg, s, t_static, cfg.head_dim,
                                   mesh=mesh, kv_batch=kv_static[0].shape[1])

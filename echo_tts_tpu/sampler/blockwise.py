@@ -20,9 +20,10 @@ Re-implements the reference streaming sampler
     from a fold of `rng_key` (production; the torch reference draws blocks
     sequentially from one generator, which JAX reproduces via injection).
 
-Each distinct (config, start_pos, block_size) block program is a cached
-jitted core — streaming callers pay one compile per block position, then
-every stream reuses them.
+Each distinct (config, total_len, block_size) block program is a cached
+jitted core with the block's START POSITION as a traced operand (RoPE
+offsets are dynamic-sliced, the latent-prefix mask is computed in-graph),
+so a stream of N same-size blocks compiles ONE program, not N.
 """
 from __future__ import annotations
 
@@ -53,7 +54,7 @@ def _prefill_core(cfg: EchoDiTConfig, dtype):
 @functools.lru_cache(maxsize=256)
 def _block_core(
     cfg: EchoDiTConfig,
-    start_pos: int,
+    total_len: int,
     block_size: int,
     num_steps: int,
     cfg_scale_text: float,
@@ -68,13 +69,16 @@ def _block_core(
     speaker_kv_min_t: Optional[float],
     dtype,
 ):
-    """Jitted program for one block at a fixed start position."""
+    """Jitted program for one block of a fixed size; the block's start
+    position is a TRACED operand (RoPE offsets dynamic-sliced from the
+    total_len table, latent mask computed in-graph), so a stream of N
+    same-size blocks compiles ONE program instead of N."""
     plan = build_step_plan(num_steps, cfg_min_t, cfg_max_t, rescale_k,
                            rescale_sigma, speaker_kv_scale,
                            speaker_kv_min_t)
 
     @jax.jit
-    def run(params, prefix, noise, kv_text, kv_speaker,
+    def run(params, prefix, noise, start_pos, kv_text, kv_speaker,
             text_mask, speaker_mask):
         batch_size = text_mask.shape[0]
         n_lat = prefix.shape[1] // cfg.speaker_patch_size
@@ -84,8 +88,8 @@ def _block_core(
         # static KV here, outside the step scans.
         kv_latent = dit.get_kv_cache_latent(params, cfg,
                                             prefix.astype(dtype))
-        lat_mask = jnp.asarray(dit.latent_prefix_mask(
-            batch_size, n_lat, start_pos, cfg.speaker_patch_size))
+        lat_mask = dit.latent_prefix_mask_dynamic(
+            batch_size, n_lat, start_pos, cfg.speaker_patch_size)
         kv_static, spk_cols = dit.concat_static_kv(
             cfg, kv_text, kv_speaker, kv_latent)
         mask_cfg, mask_plain = make_cfg_branch_masks(
@@ -100,10 +104,10 @@ def _block_core(
             mask_plain, cfg_scale_text=cfg_scale_text,
             cfg_scale_speaker=cfg_scale_speaker,
             speaker_kv_max_layers=speaker_kv_max_layers, dtype=dtype,
-            start_pos=start_pos)
+            start_pos=start_pos, max_pos=total_len)
 
-        prefix = jax.lax.dynamic_update_slice(prefix, x_t,
-                                              (0, start_pos, 0))
+        prefix = jax.lax.dynamic_update_slice(
+            prefix, x_t, (0, start_pos, 0))
         return x_t, prefix
 
     return run
@@ -177,8 +181,9 @@ def iter_blockwise_euler_cfg_independent_guidances(
                 jax.random.fold_in(rng_key, b_idx),
                 (batch_size, block_size, cfg.latent_size), jnp.float32)
 
-        core = _block_core(cfg, start_pos, block_size, *statics)
-        x_t, prefix = core(params, prefix, noise, kv_text, kv_speaker,
+        core = _block_core(cfg, prefix.shape[1], block_size, *statics)
+        x_t, prefix = core(params, prefix, noise,
+                           jnp.int32(start_pos), kv_text, kv_speaker,
                            text_mask, speaker_mask)
         yield start_pos, x_t, prefix
         start_pos += block_size

@@ -140,7 +140,8 @@ def run_step_segments(
     cfg_scale_speaker: float,
     speaker_kv_max_layers: Optional[int],
     dtype,
-    start_pos: int = 0,
+    start_pos=0,
+    max_pos: Optional[int] = None,
     mesh=None,
 ) -> jnp.ndarray:
     """The Euler hot loop shared by the flat and blockwise samplers: one
@@ -164,7 +165,7 @@ def run_step_segments(
                       dtype=jnp.float32).astype(dtype)
         v = dit.dit_forward_static(
             params, cfg, x3, t3, kv_static, spk_cols, mask_cfg,
-            start_pos=start_pos, mesh=mesh,
+            start_pos=start_pos, max_pos=max_pos, mesh=mesh,
             speaker_scale_by_layer=step_scales(step["spk"]))
         v_c, v_ut, v_us = jnp.split(v, 3, axis=0)
         v = v_c + s_text * (v_c - v_ut) + s_spk * (v_c - v_us)
@@ -176,7 +177,7 @@ def run_step_segments(
                       dtype=jnp.float32).astype(dtype)
         v = dit.dit_forward_static(
             params, cfg, x.astype(dtype), t1, kv_static, spk_cols,
-            mask_plain, start_pos=start_pos, mesh=mesh,
+            mask_plain, start_pos=start_pos, max_pos=max_pos, mesh=mesh,
             speaker_scale_by_layer=step_scales(step["spk"]))
         v = step["c1"] * v + step["c2"] * x
         return x + v * step["dt"], None

@@ -101,6 +101,39 @@ def test_blockwise_speaker_kv_scale(setup):
     _assert_close(got, ref)
 
 
+def test_one_program_per_block_size(setup, monkeypatch):
+    """A stream of N same-size blocks must build ONE block core and compile
+    ONE program — start_pos is a traced operand, not a cache key
+    (round-1 weakness: 40-block streams compiled 40 programs)."""
+    import jax
+
+    import echo_tts_tpu.sampler.blockwise as bw
+
+    _, params, _ = setup
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, CFG.text_vocab_size, size=(1, 10))
+    tmask = np.ones((1, 10), dtype=bool)
+    spk_latent = rand(rng, 1, 8, CFG.latent_size)
+    smask = np.ones((1, 8), dtype=bool)
+
+    cores = []
+    orig = bw._block_core
+
+    def spy(*a):
+        c = orig(*a)
+        cores.append(c)
+        return c
+
+    monkeypatch.setattr(bw, "_block_core", spy)
+    sample_blockwise_euler_cfg_independent_guidances(
+        params, CFG, jnp.asarray(spk_latent), jnp.asarray(smask),
+        jnp.asarray(ids), jnp.asarray(tmask), block_sizes=[8, 8, 8],
+        dtype=jnp.float32, rng_key=jax.random.PRNGKey(0), **BASE)
+    assert len(cores) == 3
+    assert len({id(c) for c in cores}) == 1
+    assert cores[0]._cache_size() == 1
+
+
 def test_blockwise_continuation(setup):
     rng = np.random.default_rng(99)
     continuation = rand(rng, 1, 8, CFG.latent_size)
