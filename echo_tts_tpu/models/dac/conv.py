@@ -21,12 +21,18 @@ _DN = ("NHC", "HIO", "NHC")
 
 def causal_conv1d(x: jnp.ndarray, kernel: jnp.ndarray,
                   bias: Optional[jnp.ndarray], *, stride: int = 1,
-                  dilation: int = 1, groups: int = 1) -> jnp.ndarray:
+                  dilation: int = 1, groups: int = 1,
+                  history: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """CausalConvNet.forward (reference: autoencoder.py:285-289).
 
     x: (B, L, C_in); kernel: (K, C_in // groups, C_out).
     Left-pad (k_eff - stride), right-pad so strides cover the length:
     output length = ceil(L / stride).
+
+    `history` (B, k_eff - stride, C_in) replaces the causal zero left-pad
+    with the previous block's raw input tail — the streaming-decode state
+    (models/dac/streaming.py).  Zeros history == the one-shot left pad, so
+    block-0 streaming is exactly the one-shot op.
 
     XLA's TPU conv lowering runs far below MXU peak for these narrow-channel
     1-D shapes (measured: the S1-DAC decoder at 365 ms vs ~30 ms roofline),
@@ -44,7 +50,14 @@ def causal_conv1d(x: jnp.ndarray, kernel: jnp.ndarray,
     # get_extra_padding_for_conv1d (autoencoder.py:49-56) with
     # padding_total = k_eff - stride reduces to ceil(L/s)*s - L.
     extra = math.ceil(length / stride) * stride - length
-    x = jnp.pad(x, ((0, 0), (pad_left, extra), (0, 0)))
+    if history is not None:
+        if history.shape[1] != pad_left or extra != 0:
+            raise ValueError(
+                f"streaming conv needs history length {pad_left} (got "
+                f"{history.shape[1]}) and block length % stride == 0")
+        x = jnp.concatenate([history.astype(x.dtype), x], axis=1)
+    else:
+        x = jnp.pad(x, ((0, 0), (pad_left, extra), (0, 0)))
     out_len = (length + extra) // stride
 
     if groups == 1 and stride == 1:
@@ -81,13 +94,17 @@ def causal_conv1d(x: jnp.ndarray, kernel: jnp.ndarray,
 
 
 def causal_conv_transpose1d(x: jnp.ndarray, kernel: jnp.ndarray,
-                            bias: Optional[jnp.ndarray], *,
-                            stride: int) -> jnp.ndarray:
+                            bias: Optional[jnp.ndarray], *, stride: int,
+                            history: Optional[jnp.ndarray] = None
+                            ) -> jnp.ndarray:
     """CausalTransConvNet.forward (reference: autoencoder.py:310-316).
 
     kernel: (K, C_out, C_in) — `transpose_kernel=True` layout matching
     torch ConvTranspose1d.  Output length = L * stride (the VALID transpose
     output right-unpadded by K - stride).
+
+    `history` (B, K/stride - 1, C_in): previous block's raw input tail for
+    streaming decode (requires K % stride == 0); zeros == one-shot.
 
     Lowered to matmuls: output position n = i*s + j (j < s) receives
     x[i - g] @ W[j + g*s] for each tap group g < K/s, so the whole op is
@@ -96,14 +113,26 @@ def causal_conv_transpose1d(x: jnp.ndarray, kernel: jnp.ndarray,
     k = kernel.shape[0]
     b, length, c_in = x.shape
     c_out = kernel.shape[1]
+    if history is not None and (k % stride != 0
+                                or history.shape[1] != k // stride - 1):
+        raise ValueError(
+            f"streaming transpose conv needs K % stride == 0 and history "
+            f"length {k // stride - 1}, got K={k} s={stride} "
+            f"hist={history.shape[1]}")
     if k % stride == 0:
-        # w_g: (C_in, s*C_out) for tap group g (taps g*s + j, j < s)
+        n_hist = k // stride - 1
+        if history is not None and n_hist > 0:
+            xfull = jnp.concatenate([history.astype(x.dtype), x], axis=1)
+        else:
+            xfull = (x if n_hist == 0 else
+                     jnp.pad(x, ((0, 0), (n_hist, 0), (0, 0))))
+        # w_g: (C_in, s*C_out) for tap group g (taps g*s + j, j < s);
+        # xfull[n_hist - g : n_hist - g + L] is x shifted right by g.
         out = jnp.zeros((b, length, stride * c_out), x.dtype)
         for g in range(k // stride):
             w_g = (kernel[g * stride:(g + 1) * stride]  # (s, C_out, C_in)
                    .transpose(2, 0, 1).reshape(c_in, stride * c_out))
-            x_g = x if g == 0 else jnp.pad(x, ((0, 0), (g, 0), (0, 0)))[:, :length]
-            out = out + x_g @ w_g
+            out = out + xfull[:, n_hist - g: n_hist - g + length] @ w_g
         out = out.reshape(b, length * stride, c_out)
     else:
         out = jax.lax.conv_transpose(

@@ -89,6 +89,37 @@ def ae_reconstruct(models: EchoModels, audio: jnp.ndarray) -> jnp.ndarray:
     return ae_decode(models, ae_encode(models, audio))
 
 
+@functools.lru_cache(maxsize=8)
+def _decode_block_core(dac_cfg: DACConfig, dtype, max_positions: int):
+    from ..models.dac.streaming import decode_zq_block
+
+    @jax.jit
+    def run(dac_params, pca, state, latents):
+        z_q = jdac.pca_unwhiten(latents, pca)
+        audio, state = decode_zq_block(dac_params, dac_cfg, state,
+                                       z_q.astype(dtype),
+                                       max_positions=max_positions)
+        return audio[..., 0].astype(jnp.float32), state
+    return run
+
+
+def ae_decode_stream_init(models: EchoModels, batch: int = 1) -> dict:
+    """Fresh incremental-decode state (models/dac/streaming.py)."""
+    from ..models.dac.streaming import init_decode_state
+    return init_decode_state(models.dac_cfg, batch, _dac_dtype(models))
+
+
+def ae_decode_block(models: EchoModels, state: dict, latents: jnp.ndarray,
+                    *, max_positions: int = 8192):
+    """Incremental ae_decode: (B, T_block, 80) latents -> ((B, T_block*2048)
+    float32 waveform, new state).  Feeding consecutive blocks reproduces
+    ae_decode of the concatenated latents (up to float reduction order) at
+    O(block) cost per block instead of O(context + block)."""
+    return _decode_block_core(models.dac_cfg, _dac_dtype(models),
+                              max_positions)(
+        models.dac_params, models.pca, state, latents)
+
+
 def get_speaker_latent_and_mask(
     models: EchoModels,
     audio: np.ndarray,  # (1, length) float32

@@ -3,21 +3,17 @@
 The reference's streaming story is the blockwise sampler (7.5 s latent
 blocks with prefix conditioning, inference_blockwise.py; README.md:95-102
 chunk_size=160); it decodes the full latent buffer at the end.  This module
-turns that into a true audio stream: after each latent block, the codec
-decodes the new block with `decode_context` latents of left context (the
-codec is causal — its post_module is a window-128 causal transformer and
-the conv stacks have a bounded receptive field, autoencoder.py:744-802,
-932-998), drops the context warm-up samples, and yields the block's audio.
-First-audio latency is therefore one block (~7.5 s of audio at defaults)
-instead of the whole utterance.
+turns that into a true audio stream: after each latent block the codec
+decodes JUST that block through a carried decode state — per-layer rolling
+window-128 KV for the post_module plus conv-tail histories for the
+upsample/decoder stacks (models/dac/streaming.py) — and yields the block's
+audio.  Per-block decode cost is O(block); streamed audio equals the
+one-shot decode up to float reduction order (the reference built a KVCache
+class for this, autoencoder.py:660-680, but never used it).
 
-`decode_context` trades exactness for compute.  The codec's receptive
-field is dominated by the post_module: 8 causal layers of window-128
-attention stack to ~8*127 ≈ 1016 latents (autoencoder.py:744-802), plus a
-few latents for the conv stacks — so the default 1152 makes streamed audio
-sample-identical to the one-shot decode for any prefix (tested).  Smaller
-values (e.g. 256) cut decode compute ~proportionally at the cost of tiny
-boundary differences deep in the attention tail.
+`continuation_latent` is prepended to the prefix buffer for generation
+resume (inference_blockwise.py:62-65); the decode state is warmed by
+decoding the continuation region first (its audio is not re-yielded).
 """
 from __future__ import annotations
 
@@ -29,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import MAX_TEXT_LENGTH, SAMPLER_DEFAULTS
-from ..pipeline.pipeline import (EchoModels, ae_decode,
+from ..pipeline.pipeline import (EchoModels, ae_decode_block,
+                                 ae_decode_stream_init,
                                  get_speaker_latent_and_mask)
 from ..pipeline.text import get_text_input_ids_and_mask
 from ..sampler.blockwise import iter_blockwise_euler_cfg_independent_guidances
@@ -54,14 +51,12 @@ def stream_synthesize(
     seed: int = 0,
     sampler_params: Optional[Dict] = None,
     continuation_latent: Optional[np.ndarray] = None,
-    decode_context: int = 1152,
 ) -> Iterator[StreamChunk]:
     """Yield audio block-by-block for one utterance."""
     p = dict(SAMPLER_DEFAULTS)
     p.update(sampler_params or {})
     p.pop("sequence_length", None)  # streaming length = blocks * chunk_size
     ps = models.dit_cfg.speaker_patch_size
-    spl = models.dac_cfg.frame_length
 
     text_ids, text_mask = get_text_input_ids_and_mask(
         [text], max_length=MAX_TEXT_LENGTH)
@@ -83,14 +78,18 @@ def stream_synthesize(
                              else jnp.asarray(continuation_latent)),
         dtype=models.dtype, rng_key=jax.random.PRNGKey(seed), **p)
 
-    for idx, (start, block, prefix) in enumerate(blocks):
-        end = start + chunk_size
-        ctx = min(start, decode_context)
-        audio = np.asarray(ae_decode(
-            models, prefix[:, start - ctx:end]))
+    state = ae_decode_stream_init(models)
+    if continuation_latent is not None:
+        # Warm the decode state with the continuation region so the first
+        # generated block decodes with its true causal context.
+        _, state = ae_decode_block(models, state,
+                                   jnp.asarray(continuation_latent))
+
+    for idx, (start, block, _prefix) in enumerate(blocks):
+        audio, state = ae_decode_block(models, state, block)
         yield StreamChunk(
             index=idx,
-            audio=audio[:, ctx * spl:],
+            audio=np.asarray(audio),
             latent_start=start,
-            latent_end=end,
+            latent_end=start + chunk_size,
             is_last=(idx == num_chunks - 1))

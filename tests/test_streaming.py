@@ -1,12 +1,13 @@
-"""Streaming synthesis: block iteration, incremental decode, exactness
-with full-context decode, and continuation."""
+"""Streaming synthesis: block iteration, incremental decode exactness vs
+the one-shot decode, and continuation."""
 import numpy as np
 import pytest
 
 import jax
 import jax.numpy as jnp
 
-from echo_tts_tpu.pipeline.pipeline import ae_decode
+from echo_tts_tpu.pipeline.pipeline import (ae_decode, ae_decode_block,
+                                            ae_decode_stream_init)
 from echo_tts_tpu.sampler.blockwise import (
     sample_blockwise_euler_cfg_independent_guidances)
 from echo_tts_tpu.serve.streaming import stream_synthesize
@@ -35,12 +36,47 @@ def test_stream_yields_blocks_with_metadata(models):
         (0, 4), (4, 8), (8, 12)]
 
 
-def test_stream_with_full_context_matches_full_decode(models):
-    """With decode_context >= total length, concatenated streamed audio must
-    equal decoding the final latents in one shot."""
+def test_incremental_decode_matches_one_shot(models):
+    """Chained ae_decode_block must reproduce one-shot ae_decode of the
+    concatenated latents — the carried state (rolling post-module KV +
+    conv tails) replaces re-decoding any context."""
+    rng = np.random.default_rng(3)
+    latents = jnp.asarray(rng.standard_normal((1, 12, 80)).astype(np.float32))
+    full = np.asarray(ae_decode(models, latents))
+
+    state = ae_decode_stream_init(models)
+    parts = []
+    for start in range(0, 12, 4):
+        audio, state = ae_decode_block(models, state,
+                                       latents[:, start:start + 4])
+        parts.append(np.asarray(audio))
+    streamed = np.concatenate(parts, axis=-1)
+    np.testing.assert_allclose(streamed, full, atol=1e-5)
+
+
+def test_incremental_decode_uneven_blocks(models):
+    """Block sizes may vary within a stream (the post-module KV and conv
+    histories are length-agnostic as long as blocks >= state width)."""
+    rng = np.random.default_rng(4)
+    latents = jnp.asarray(rng.standard_normal((1, 14, 80)).astype(np.float32))
+    full = np.asarray(ae_decode(models, latents))
+
+    state = ae_decode_stream_init(models)
+    parts = []
+    for start, size in ((0, 6), (6, 4), (10, 4)):
+        audio, state = ae_decode_block(models, state,
+                                       latents[:, start:start + size])
+        parts.append(np.asarray(audio))
+    np.testing.assert_allclose(np.concatenate(parts, axis=-1), full,
+                               atol=1e-5)
+
+
+def test_stream_matches_full_decode(models):
+    """Concatenated streamed audio must equal decoding the final latent
+    buffer in one shot (now via the incremental state, no context window)."""
     chunks = list(stream_synthesize(
         models, "Exactness check.", chunk_size=4, num_chunks=2, seed=9,
-        sampler_params=FAST, decode_context=10_000))
+        sampler_params=FAST))
     streamed = np.concatenate([c.audio for c in chunks], axis=-1)
 
     from echo_tts_tpu.config import MAX_TEXT_LENGTH
@@ -59,9 +95,30 @@ def test_stream_with_full_context_matches_full_decode(models):
 
 
 def test_stream_continuation(models):
-    cont = np.zeros((1, 4, 80), np.float32)
+    """Continuation warms the decode state, so streamed blocks equal the
+    one-shot decode of [continuation | generated] with the continuation
+    samples dropped."""
+    rng = np.random.default_rng(11)
+    cont = rng.standard_normal((1, 4, 80)).astype(np.float32) * 0.1
     chunks = list(stream_synthesize(
         models, "Continued.", chunk_size=4, num_chunks=2, seed=1,
         sampler_params=FAST, continuation_latent=cont))
     assert [(c.latent_start, c.latent_end) for c in chunks] == [
         (4, 8), (8, 12)]
+
+    from echo_tts_tpu.config import MAX_TEXT_LENGTH
+    from echo_tts_tpu.pipeline.text import get_text_input_ids_and_mask
+    ids, mask = get_text_input_ids_and_mask(["Continued."],
+                                            max_length=MAX_TEXT_LENGTH)
+    ps = models.dit_cfg.speaker_patch_size
+    latents = sample_blockwise_euler_cfg_independent_guidances(
+        models.dit_params, models.dit_cfg,
+        jnp.zeros((1, ps, 80)), jnp.zeros((1, ps), bool),
+        jnp.asarray(ids), jnp.asarray(mask),
+        block_sizes=[4, 4], dtype=models.dtype,
+        rng_key=jax.random.PRNGKey(1),
+        continuation_latent=jnp.asarray(cont), **FAST)
+    full = np.asarray(ae_decode(models, latents))
+    spl = models.dac_cfg.frame_length
+    streamed = np.concatenate([c.audio for c in chunks], axis=-1)
+    np.testing.assert_allclose(streamed, full[:, 4 * spl:], atol=1e-5)
