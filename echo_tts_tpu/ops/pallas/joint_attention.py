@@ -39,6 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 NEG_INF = float("-inf")
+# Finite mask for the flash kernel: exp(MASK - m) underflows to exactly 0
+# in fp32 while keeping the online-softmax max/alpha arithmetic NaN-free
+# (with -inf, a fully-masked tile would produce exp(-inf - -inf) = NaN).
+MASK_VALUE = -1e30
+FLASH_BLOCK_Q = 256
+FLASH_BLOCK_KV = 512
 
 
 def _kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref, scale_ref,
@@ -84,6 +90,75 @@ def _kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref, scale_ref,
     out_ref[0, 0] = (acc / denom).astype(out_ref.dtype)
 
 
+def _flash_kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref, scale_ref,
+                  out_ref, m_ref, l_ref, acc_ref, *,
+                  sm_scale: float, n_self: int, n_kv: int, s_kv: int,
+                  block_t: int):
+    """Blocked (flash) variant: grid (GB, H, n_q_blocks, n_kv_blocks) with
+    the kv-block dim innermost (sequential on TPU); online softmax over
+    first the self tiles then the static tiles, running (m, l, acc) in VMEM
+    scratch.  Per-column scale/mask semantics are identical to `_kernel`;
+    only the (S, T) logits are tiled — this is what breaks the whole-row
+    VMEM budget at large S."""
+    # program_id must be read at kernel top level (inside a pl.when body it
+    # has no lowering rule under interpret mode).
+    bi = pl.program_id(0)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]                       # (block_q, Dh)
+
+    def online_update(logits, v, w_scale):
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        e = jnp.exp(logits - m_new)
+        l_ref[...] = jnp.broadcast_to(
+            l_prev * alpha + jnp.sum(e, axis=-1, keepdims=True), l_ref.shape)
+        if w_scale is not None:
+            e = e * w_scale
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(ki < n_self)
+    def _self_tile():
+        k = ks_ref[0, 0]                  # (block_t, Dh)
+        v = vs_ref[0, 0]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        col = ki * block_t + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_t), 1)
+        logits = jnp.where(col < s_kv, logits, MASK_VALUE)
+        online_update(logits, v, None)
+
+    @pl.when(ki >= n_self)
+    def _static_tile():
+        k = kt_ref[0, 0]
+        v = vt_ref[0, 0]
+        ti = ki - n_self
+        bias = bias_ref[pl.ds(bi, 1),
+                        pl.ds(ti * block_t, block_t)]       # (1, block_t)
+        cs = scale_ref[pl.ds(0, 1), pl.ds(ti * block_t, block_t)]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        logits = logits * cs + bias
+        online_update(logits, v, cs)
+
+    @pl.when(ki == n_kv - 1)
+    def _finalize():
+        out_ref[0, 0] = (acc_ref[...] / l_ref[:, :1]).astype(out_ref.dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -99,6 +174,97 @@ def fits_vmem(s: int, t_static: int, head_dim: int,
     kv = 2 * 2 * (s + t_pad) * head_dim  # bf16 k+v both segments
     q_out = 2 * 2 * s * head_dim + 4 * s * head_dim
     return logits + kv + q_out < budget_bytes
+
+
+def fits_vmem_flash(s: int, t_static: int, head_dim: int,
+                    block_q: int = FLASH_BLOCK_Q,
+                    block_kv: int = FLASH_BLOCK_KV,
+                    budget_bytes: int = 14 * 1024 * 1024) -> bool:
+    """VMEM estimate for one flash-kernel invocation: full self+static KV
+    rows stay resident (they are small — only the logits blow up the
+    whole-row budget), logits are tiled (block_q, block_kv)."""
+    t_pad = _round_up(t_static, max(LANE, block_kv))
+    s_pad = _round_up(s, block_kv)
+    kv = 2 * 2 * (s_pad + t_pad) * head_dim      # bf16 k+v, both segments
+    tiles = 4 * block_q * (block_kv + head_dim + 2 * LANE)  # logits+acc+m/l
+    q_out = 2 * 2 * block_q * head_dim
+    bias_b = 4 * t_pad * 2
+    return kv + tiles + q_out + bias_b < budget_bytes
+
+
+def _pallas_attention_flash(qt, kst, vst, ktt, vtt, bias, col_scale,
+                            *, sm_scale: float, block_q: int, block_t: int,
+                            interpret: bool) -> jnp.ndarray:
+    """Blocked pallas_call on the transposed (batch, H, seq, Dh) layout."""
+    gb, h, s, dh = qt.shape
+    b = ktt.shape[0]
+
+    s_pad_q = _round_up(s, block_q)
+    if s_pad_q != s:
+        qt = jnp.pad(qt, [(0, 0), (0, 0), (0, s_pad_q - s), (0, 0)])
+    s_pad_kv = _round_up(s, block_t)
+    if s_pad_kv != s:
+        pad = [(0, 0), (0, 0), (0, s_pad_kv - s), (0, 0)]
+        kst = jnp.pad(kst, pad)
+        vst = jnp.pad(vst, pad)
+    t_in = ktt.shape[2]
+    t_pad = _round_up(t_in, block_t)
+    if t_pad != t_in:
+        pad = [(0, 0), (0, 0), (0, t_pad - t_in), (0, 0)]
+        ktt = jnp.pad(ktt, pad)
+        vtt = jnp.pad(vtt, pad)
+        bias = jnp.pad(bias, [(0, 0), (0, t_pad - t_in)],
+                       constant_values=MASK_VALUE)
+        col_scale = jnp.pad(col_scale, [(0, 0), (0, t_pad - t_in)])
+
+    n_q = s_pad_q // block_q
+    n_self = s_pad_kv // block_t
+    n_static = t_pad // block_t
+    n_kv = n_self + n_static
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, sm_scale=sm_scale, n_self=n_self,
+                          n_kv=n_kv, s_kv=s, block_t=block_t),
+        grid=(gb, h, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, dh),
+                         lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_t, dh),
+                         lambda bi, hi, qi, ki:
+                         (bi, hi, jnp.minimum(ki, n_self - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_t, dh),
+                         lambda bi, hi, qi, ki:
+                         (bi, hi, jnp.minimum(ki, n_self - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_t, dh),
+                         lambda bi, hi, qi, ki:
+                         (bi % b, hi,
+                          jnp.clip(ki - n_self, 0, n_static - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_t, dh),
+                         lambda bi, hi, qi, ki:
+                         (bi % b, hi,
+                          jnp.clip(ki - n_self, 0, n_static - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, t_pad), lambda bi, hi, qi, ki: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad), lambda bi, hi, qi, ki: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, dh),
+                               lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gb, h, s_pad_q, dh), qt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANE), jnp.float32),   # running max
+            pltpu.VMEM((block_q, LANE), jnp.float32),   # running denom
+            pltpu.VMEM((block_q, dh), jnp.float32),     # running PV acc
+        ],
+        interpret=interpret,
+    )(qt, kst, vst, ktt, vtt, bias, col_scale)
+    return out[:, :, :s]
 
 
 def _pallas_attention(qt, kst, vst, ktt, vtt, bias, col_scale,
@@ -164,14 +330,21 @@ def _xla_attention(qt, kst, vst, ktt, vtt, bias, col_scale,
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_fn(sm_scale: float, interpret: bool):
-    """custom_vjp wrapper: Pallas forward, XLA-recompute backward.  Without
+def _fused_fn(sm_scale: float, interpret: bool,
+              flash_blocks: Optional[tuple] = None):
+    """custom_vjp wrapper: Pallas forward (whole-row, or flash when
+    `flash_blocks=(block_q, block_kv)`), XLA-recompute backward.  Without
     this, differentiating through the kernel raises (pallas_call has no
     reverse-mode rule) — e.g. training on a single chip where the auto
     dispatch picks the fused path."""
 
     @jax.custom_vjp
     def fused(qt, kst, vst, ktt, vtt, bias, col_scale):
+        if flash_blocks is not None:
+            return _pallas_attention_flash(
+                qt, kst, vst, ktt, vtt, bias, col_scale, sm_scale=sm_scale,
+                block_q=flash_blocks[0], block_t=flash_blocks[1],
+                interpret=interpret)
         return _pallas_attention(qt, kst, vst, ktt, vtt, bias, col_scale,
                                  sm_scale=sm_scale, interpret=interpret)
 
@@ -199,9 +372,19 @@ def fused_joint_attention(
     *,
     sm_scale: float,
     interpret: bool = False,
+    flash: Optional[bool] = None,          # None = auto by VMEM fit
+    block_q: int = FLASH_BLOCK_Q,
+    block_kv: int = FLASH_BLOCK_KV,
 ) -> jnp.ndarray:
     gb, s, h, dh = q.shape
     b, t, _, _ = k_static.shape
+
+    if flash is None:
+        flash = not fits_vmem(s, t, dh)
+    if flash:
+        # keep tiles within the actual extents for small (test) shapes
+        block_q = min(block_q, _round_up(s, 8))
+        block_kv = min(block_kv, _round_up(max(s, t, LANE), LANE))
 
     if col_scale is None:
         col_scale = jnp.ones((t,), jnp.float32)
@@ -212,7 +395,9 @@ def fused_joint_attention(
         v_static = jnp.pad(v_static, pad)
         static_mask = jnp.pad(static_mask, [(0, 0), (0, t_pad - t)])
         col_scale = jnp.pad(col_scale, (0, t_pad - t))
-    bias = jnp.where(static_mask, 0.0, NEG_INF).astype(jnp.float32)
+    # MASK_VALUE (not -inf) so the flash online softmax stays NaN-free for
+    # fully-masked tiles; exp underflows to exactly 0 either way.
+    bias = jnp.where(static_mask, 0.0, MASK_VALUE).astype(jnp.float32)
     col_scale = col_scale.astype(jnp.float32)[None, :]  # (1, T)
 
     # Arrays come in (batch, seq, H, Dh); transpose to (batch, H, seq, Dh)
@@ -223,7 +408,8 @@ def fused_joint_attention(
     ktt = k_static.transpose(0, 2, 1, 3)
     vtt = v_static.transpose(0, 2, 1, 3)
 
-    out = _fused_fn(sm_scale, interpret)(
+    out = _fused_fn(sm_scale, interpret,
+                    (block_q, block_kv) if flash else None)(
         qt, kst, vst, ktt, vtt, bias, col_scale)
 
     return out.transpose(0, 2, 1, 3)  # back to (GB, S, H, Dh)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from echo_tts_tpu.config import tiny_dit_config
 from echo_tts_tpu.models import dit
 from echo_tts_tpu.ops.pallas.joint_attention import (fits_vmem,
+                                                     fits_vmem_flash,
                                                      fused_joint_attention)
 
 CFG_X = dataclasses.replace(tiny_dit_config(), attention_impl="xla")
@@ -135,6 +136,102 @@ def test_grad_through_pallas_attention(params):
     np.testing.assert_allclose(wq_x, wq_p, atol=3e-5, rtol=1e-3)
 
 
+def _dense_reference(q, ks_, vs, kt, vt, mask, col_scale, scale):
+    gb, b = q.shape[0], kt.shape[0]
+    ktb = jnp.tile(kt, (gb // b, 1, 1, 1))
+    vtb = jnp.tile(vt, (gb // b, 1, 1, 1))
+    s = q.shape[1]
+    logits_self = jnp.einsum("bshd,bthd->bhst", q, ks_,
+                             preferred_element_type=jnp.float32) * scale
+    logits_st = jnp.einsum("bshd,bthd->bhst", q, ktb,
+                           preferred_element_type=jnp.float32) * scale
+    logits_st = logits_st * col_scale
+    logits_st = jnp.where(mask[:, None, None, :], logits_st, -jnp.inf)
+    logits = jnp.concatenate([logits_self, logits_st], axis=-1)
+    w = jax.nn.softmax(logits, axis=-1)
+    w_self = w[..., :s].astype(vs.dtype)
+    w_st = (w[..., s:] * col_scale).astype(vtb.dtype)
+    return (jnp.einsum("bhst,bthd->bshd", w_self, vs)
+            + jnp.einsum("bhst,bthd->bshd", w_st, vtb))
+
+
+def test_flash_kernel_matches_dense_reference():
+    """Blocked (online-softmax) variant with multiple self/static/query
+    tiles, ragged extents, a non-unity column scale and masked columns."""
+    rng = np.random.default_rng(5)
+    gb, b, s, t, h, dh = 2, 1, 150, 300, 2, 128
+
+    def arr(*sh):
+        return jnp.asarray(rng.standard_normal(sh).astype(np.float32))
+
+    q, ks_, vs = arr(gb, s, h, dh), arr(gb, s, h, dh), arr(gb, s, h, dh)
+    kt, vt = arr(b, t, h, dh), arr(b, t, h, dh)
+    mask = jnp.asarray(rng.random((gb, t)) > 0.3).at[:, 0].set(True)
+    col_scale = jnp.asarray(
+        1.0 + 0.5 * rng.random(t).astype(np.float32))
+    scale = dh ** -0.5
+
+    out = fused_joint_attention(
+        q, ks_, vs, kt, vt, mask, col_scale, sm_scale=scale,
+        interpret=True, flash=True, block_q=64, block_kv=64)
+    ref = _dense_reference(q, ks_, vs, kt, vt, mask, col_scale, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_auto_selected_past_whole_row_budget():
+    """`flash=None` must pick the blocked kernel exactly where the
+    whole-row kernel stops fitting VMEM, with identical results."""
+    s, t, dh = 2048, 200, 128
+    assert not fits_vmem(s, t, dh)
+    assert fits_vmem_flash(s, t, dh)
+
+    rng = np.random.default_rng(6)
+
+    def arr(*sh):
+        return jnp.asarray(rng.standard_normal(sh).astype(np.float32))
+
+    gb, b, h = 2, 1, 1
+    q, ks_, vs = arr(gb, s, h, dh), arr(gb, s, h, dh), arr(gb, s, h, dh)
+    kt, vt = arr(b, t, h, dh), arr(b, t, h, dh)
+    mask = jnp.ones((gb, t), bool)
+    scale = dh ** -0.5
+    out = fused_joint_attention(q, ks_, vs, kt, vt, mask, sm_scale=scale,
+                                interpret=True)  # flash=None -> auto
+    ref = _dense_reference(q, ks_, vs, kt, vt, mask,
+                           jnp.ones((t,), jnp.float32), scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_grad_through_flash_kernel():
+    """The custom VJP (XLA-recompute backward) covers the flash forward."""
+    rng = np.random.default_rng(7)
+    gb, b, s, t, h, dh = 2, 1, 40, 80, 1, 128
+
+    def arr(*sh):
+        return jnp.asarray(rng.standard_normal(sh).astype(np.float32))
+
+    q, ks_, vs = arr(gb, s, h, dh), arr(gb, s, h, dh), arr(gb, s, h, dh)
+    kt, vt = arr(b, t, h, dh), arr(b, t, h, dh)
+    mask = jnp.ones((gb, t), bool)
+    scale = dh ** -0.5
+
+    def loss(q, flash):
+        out = fused_joint_attention(q, ks_, vs, kt, vt, mask,
+                                    sm_scale=scale, interpret=True,
+                                    flash=flash, block_q=16, block_kv=64)
+        return jnp.mean(out ** 2)
+
+    lf, gf = jax.value_and_grad(loss)(q, True)
+    lw, gw = jax.value_and_grad(loss)(q, False)
+    np.testing.assert_allclose(float(lf), float(lw), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gw),
+                               atol=3e-5, rtol=1e-3)
+
+
 def test_fits_vmem_guard():
     assert fits_vmem(640, 768 + 1600, 128)        # published worst case
     assert not fits_vmem(4096, 100_000, 128)      # absurd shapes fall back
+    assert fits_vmem_flash(4096, 2432, 128)       # flash covers big S
+    assert not fits_vmem_flash(4096, 100_000, 128)  # KV itself too big
