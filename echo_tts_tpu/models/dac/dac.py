@@ -155,6 +155,92 @@ def decode_codes(params: dict, cfg: DACConfig,
 
 
 # ---------------------------------------------------------------------------
+# Analytic delay / length plumbing (reference: autoencoder.py:1044-1108)
+# ---------------------------------------------------------------------------
+
+def _conv_layer_specs(cfg: DACConfig):
+    """Ordered (is_transpose, kernel, stride, dilation) for every conv in
+    the codec, in the reference's module-registration order (encoder ->
+    quantizer -> decoder; autoencoder.py:1028-1041 walks `self.modules()`).
+    k=1 convs are length-neutral but kept for exact order fidelity."""
+    specs = []
+    # Encoder (autoencoder.py:903-929): conv_in k7; per block 3 residual
+    # units (k7 dilated + k1) then the k=2s strided down conv; conv_out k3.
+    specs.append((False, 7, 1, 1))
+    for stride in cfg.encoder_rates:
+        for dil in DILATIONS:
+            specs += [(False, 7, 1, dil), (False, 1, 1, 1)]
+        specs.append((False, 2 * stride, stride, 1))
+    specs.append((False, 3, 1, 1))
+    # Quantizer (autoencoder.py:398-435): VQ 1x1 in/out projs, then
+    # downsample (conv k=f s=f + ConvNeXt dwconv k7), then upsample
+    # (transposed conv k=f s=f + ConvNeXt dwconv k7).
+    for _ in range(1 + cfg.n_codebooks):
+        specs += [(False, 1, 1, 1), (False, 1, 1, 1)]
+    for factor in cfg.downsample_factor:
+        specs += [(False, factor, factor, 1), (False, 7, 1, 1)]
+    for factor in reversed(cfg.downsample_factor):
+        specs += [(True, factor, factor, 1), (False, 7, 1, 1)]
+    # Decoder (autoencoder.py:971-998): conv_in k7; per block transposed
+    # k=2s up conv then 3 residual units; conv_out k7.
+    specs.append((False, 7, 1, 1))
+    for stride in cfg.decoder_rates:
+        specs.append((True, 2 * stride, stride, 1))
+        for dil in DILATIONS:
+            specs += [(False, 7, 1, dil), (False, 1, 1, 1)]
+    specs.append((False, 7, 1, 1))
+    return specs
+
+
+def get_output_length(cfg: DACConfig, input_length: int) -> int:
+    """Encoder output length for a given sample count
+    (reference: autoencoder.py:1045-1049)."""
+    length = input_length
+    for stride in cfg.encoder_rates:
+        length = math.ceil(length / stride)
+    return length
+
+
+def get_delay(cfg: DACConfig) -> int:
+    """Analytic codec delay in samples (reference: autoencoder.py:1052-1068):
+    walk every conv backwards through receptive-field arithmetic from a
+    zero-length output and halve the required input length."""
+    l_out = get_output_length(cfg, 0)
+    length = l_out
+    for is_t, k, s, d in reversed(_conv_layer_specs(cfg)):
+        if is_t:
+            length = (length - d * (k - 1) - 1) / s + 1
+        else:
+            length = (length - 1) * s + d * (k - 1) + 1
+        length = math.ceil(length)
+    return (length - l_out) // 2
+
+
+def encode_with_lengths(params: dict, cfg: DACConfig, audio: jnp.ndarray,
+                        audio_lengths: Optional[jnp.ndarray] = None):
+    """encode() with per-item length plumbing
+    (reference: autoencoder.py:1080-1100): returns (codes (B, 10, T),
+    indices_lens (B,) = ceil(valid_samples / frame_length))."""
+    length = audio.shape[1]
+    right = math.ceil(length / cfg.frame_length) * cfg.frame_length - length
+    if audio_lengths is None:
+        audio_lengths = jnp.full((audio.shape[0],), length + right,
+                                 jnp.int32)
+    codes = encode_codes(params, cfg, audio)
+    indices_lens = jnp.ceil(audio_lengths / cfg.frame_length).astype(
+        jnp.int32)
+    return codes, indices_lens
+
+
+def decode_with_lengths(params: dict, cfg: DACConfig, codes: jnp.ndarray,
+                        feature_lengths: jnp.ndarray):
+    """decode() with length plumbing (reference: autoencoder.py:1102-1108):
+    returns (audio (B, T*frame_length, 1), audio_lengths (B,))."""
+    audio = decode_codes(params, cfg, codes)
+    return audio, feature_lengths * cfg.frame_length
+
+
+# ---------------------------------------------------------------------------
 # PCA whitening between codec space (1024) and DiT latent space (80)
 # (reference: inference.py:86-99, 218-229)
 # ---------------------------------------------------------------------------

@@ -89,6 +89,35 @@ def test_decode_zq_parity(models):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_get_delay_and_lengths_parity(models):
+    """Analytic conv delay + length plumbing vs the live reference
+    (reference: autoencoder.py:1044-1108)."""
+    tdac, params = models
+    assert jdac.get_delay(CFG) == tdac.get_delay()
+    for n in (0, 1, 31, 32, 100, 1000):
+        assert jdac.get_output_length(CFG, n) == tdac.get_output_length(n)
+
+    rng = np.random.default_rng(6)
+    audio = _audio(rng, 2, 3 * CFG.frame_length + 5)
+    with torch.no_grad():
+        ref_codes, ref_lens = tdac.encode(torch.tensor(audio)[:, None, :])
+    codes, lens = jdac.encode_with_lengths(params, CFG,
+                                           jnp.asarray(audio)[..., None])
+    assert codes.shape[2] == ref_codes.shape[2]
+    np.testing.assert_array_equal(np.asarray(lens),
+                                  np.broadcast_to(ref_lens.numpy(), (2,)))
+
+    with torch.no_grad():
+        ref_audio, ref_alens = tdac.decode(ref_codes,
+                                           torch.tensor([4, 4]))
+    got_audio, got_alens = jdac.decode_with_lengths(
+        params, CFG, jnp.asarray(ref_codes.numpy()),
+        jnp.asarray([4, 4]))
+    np.testing.assert_array_equal(np.asarray(got_alens), ref_alens.numpy())
+    np.testing.assert_allclose(np.asarray(got_audio)[..., 0][:, None, :],
+                               ref_audio.numpy(), rtol=2e-3, atol=2e-4)
+
+
 def test_roundtrip_through_pca(models):
     """ae_encode/ae_decode chain (reference: inference.py:218-229)."""
     tdac, params = models
