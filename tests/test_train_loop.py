@@ -1,4 +1,5 @@
-"""Training loop: sharded updates, loss descent, checkpointing."""
+"""Training loop: sharded updates, loss descent, checkpointing, and the
+audio -> latent-shard -> batch data pipeline."""
 import itertools
 import os
 
@@ -42,3 +43,47 @@ def test_train_loop_descends_and_checkpoints(tmp_path):
     assert int(state.step) == 6
     assert os.path.isdir(tmp_path / "step_00000003")
     assert os.path.isdir(tmp_path / "step_00000006")
+
+
+def test_data_pipeline_feeds_train_step(tiny_models, tmp_path):
+    """audio -> ae_encode -> shards -> static-shape batches -> one sharded
+    train step; the batch contract end-to-end (train/data.py)."""
+    from echo_tts_tpu.train import data as tdata
+
+    models = tiny_models
+    spl = models.dac_cfg.frame_length
+    rng = np.random.default_rng(0)
+    items = [
+        (np.tanh(rng.standard_normal((1, (16 + 8 * i) * spl))
+                 ).astype(np.float32), f"Utterance number {i}.")
+        for i in range(4)
+    ] + [
+        (np.tanh(rng.standard_normal((1, 2 * spl))).astype(np.float32),
+         "Too short, dropped."),
+    ]
+    dcfg = tdata.DataConfig(sequence_length=16, text_length=32,
+                            speaker_length=8, min_latents=8)
+    shards = tdata.write_shards(models, items, str(tmp_path / "shards"),
+                                shard_size=4, cfg=dcfg)
+    assert len(shards) == 1  # 4 utterances kept, short one dropped
+
+    utts = tdata.load_shard(shards[0])
+    assert len(utts) == 4
+    assert utts[0][0].shape[1] == 80
+
+    batches = tdata.iter_batches(shards, models, batch_size=4, cfg=dcfg,
+                                 seed=1)
+    batch = next(batches)
+    assert batch["latents"].shape == (4, 16, 80)
+    assert batch["text_ids"].shape == (4, 32)
+    assert batch["speaker_latent"].shape == (4, 8, 80)
+    ps = models.dit_cfg.speaker_patch_size
+    assert batch["speaker_mask"].sum(axis=1).max() % ps == 0
+
+    cfg = tiny_dit_config(blockwise=False)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    mesh = pmesh.make_mesh(dp=4, tp=2)
+    state = train(cfg, params, batches, mesh, num_steps=2, lr=1e-3,
+                  dtype=jnp.float32, rng=jax.random.PRNGKey(2),
+                  log_every=100)
+    assert int(state.step) == 2
