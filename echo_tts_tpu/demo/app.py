@@ -6,7 +6,8 @@ object: sampler presets (serve/sampler_presets.json), CFG presets,
 truncation/rescale presets, force-speaker (speaker-KV) controls, static
 shape buckets, AE-reconstruction debug output and session-scoped temp-file
 cleanup (gradio_app.py:78-107).  `launch_gradio()` wraps it in a Blocks UI
-when gradio is installed; `main()` offers a stdin/CLI loop otherwise.
+when gradio is installed (wiring smoke-tested against a stub in
+tests/test_demo_gradio.py); examples/generate.py is the CLI entry point.
 """
 from __future__ import annotations
 

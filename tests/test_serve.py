@@ -56,6 +56,23 @@ def test_synthesize_basic(models, cfg):
     assert np.isfinite(audio).all()
 
 
+def test_synthesize_with_voice_fixture(models, cfg):
+    """Voice-cloning e2e on real audio: the checked-in 2 s synthetic voice
+    flows load_audio -> resample -> chunked AE encode -> speaker KV
+    (reference ships audio_prompts/ sample voices; docs/ADD_VOICE.md)."""
+    import shutil
+    fixture = os.path.join(os.path.dirname(__file__), "data", "voice.wav")
+    shutil.copy(fixture, os.path.join(cfg.voices_dir, "fixture.wav"))
+    out = h.synthesize(
+        {"text": "Cloning test.", "parameters": _fast_params(), "seed": 3,
+         "speaker_voice": "fixture.wav"},
+        cfg=cfg, models=models)
+    assert out["status"] == "success", out
+    assert out["metadata"]["speaker_voice"] == "fixture.wav"
+    audio, sr = audio_io.read_wav(out["local_path"])
+    assert np.isfinite(audio).all()
+
+
 def test_synthesize_chunk_seed_progression(models, cfg, monkeypatch):
     """Per-chunk seeds advance seed + idx*1000 (reference: handler.py:749)."""
     seeds = []
