@@ -22,6 +22,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The sitecustomize imports jax before conftest, so the env var alone
+# never reaches jax's config snapshot — set the cache dir explicitly
+# (without this the persistent cache is silently disabled and every
+# suite run recompiles everything).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import jax.numpy as jnp  # noqa: E402
