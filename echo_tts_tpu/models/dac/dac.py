@@ -24,12 +24,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...config import DACConfig
+from ...ops.pallas.res_stack import fused_res_stack, res_stack_eligible
 from .conv import (causal_conv1d, causal_conv_transpose1d, convnext_block,
                    residual_unit, snake)
 from .quantize import rvq_encode, rvq_from_codes
 from .transformer import transformer_forward
 
 DILATIONS = (1, 3, 9)
+
+
+def _res_stack(res_units, x: jnp.ndarray) -> jnp.ndarray:
+    """Three dilated residual units; fused Pallas chain on a single real
+    accelerator at bandwidth-bound shapes (ops/pallas/res_stack.py), the
+    unrolled XLA convs otherwise."""
+    if res_stack_eligible(x.shape[1], x.shape[2]):
+        return fused_res_stack(res_units, x)
+    for ri, dil in enumerate(DILATIONS):
+        x = residual_unit(res_units[ri], x, dil)
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -44,8 +56,7 @@ def encoder_forward(p: dict, cfg: DACConfig, audio: jnp.ndarray) -> jnp.ndarray:
             zip(cfg.encoder_rates, cfg.encoder_transformer_layers)):
         dim *= 2
         bp = p["blocks"][bi]
-        for ri, dil in enumerate(DILATIONS):
-            x = residual_unit(bp["res_units"][ri], x, dil)
+        x = _res_stack(bp["res_units"], x)
         x = snake(x, bp["snake"])
         x = causal_conv1d(x, bp["down"]["kernel"], bp["down"]["bias"],
                           stride=stride)
@@ -67,8 +78,7 @@ def decoder_forward(p: dict, cfg: DACConfig, z: jnp.ndarray) -> jnp.ndarray:
         x = snake(x, bp["snake"])
         x = causal_conv_transpose1d(x, bp["up"]["kernel"], bp["up"]["bias"],
                                     stride=stride)
-        for ri, dil in enumerate(DILATIONS):
-            x = residual_unit(bp["res_units"][ri], x, dil)
+        x = _res_stack(bp["res_units"], x)
     x = snake(x, p["snake_out"])
     x = causal_conv1d(x, p["conv_out"]["kernel"], p["conv_out"]["bias"])
     return jnp.tanh(x)
