@@ -24,13 +24,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...config import DACConfig
-from ...ops.pallas.res_stack import fused_res_stack, res_stack_eligible
+from ...ops.pallas.res_stack import (DILATIONS, fused_res_stack,
+                                     res_stack_eligible)
 from .conv import (causal_conv1d, causal_conv_transpose1d, convnext_block,
                    residual_unit, snake)
 from .quantize import rvq_encode, rvq_from_codes
 from .transformer import transformer_forward
-
-DILATIONS = (1, 3, 9)
 
 
 def _res_stack(res_units, x: jnp.ndarray) -> jnp.ndarray:

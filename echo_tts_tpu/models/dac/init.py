@@ -10,8 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from ...config import DACConfig
-
-DILATIONS = (1, 3, 9)
+from ...ops.pallas.res_stack import DILATIONS
 
 
 def _split(key, n):

@@ -301,7 +301,8 @@ def latent_prefix_mask_dynamic(batch_size: int, num_latents: int,
 
 def _select_attention_impl(cfg: EchoDiTConfig, s: int, t_static: int,
                            head_dim: int, *, mesh=None,
-                           kv_batch: Optional[int] = None) -> str:
+                           kv_batch: Optional[int] = None,
+                           q_batch: int = 3) -> str:
     """Resolve cfg.attention_impl at trace time.
 
     "auto" picks the fused Pallas kernel on a single accelerator when the
@@ -319,7 +320,7 @@ def _select_attention_impl(cfg: EchoDiTConfig, s: int, t_static: int,
     # Whole-row kernel when the (S, T) logits fit VMEM, the blocked flash
     # variant otherwise (fused_joint_attention auto-selects internally).
     fits = (fits_vmem(s, t_static, head_dim)
-            or fits_vmem_flash(s, t_static, head_dim))
+            or fits_vmem_flash(s, t_static, head_dim, q_batch))
     if mesh is not None:
         ok = (shardable(mesh, kv_batch, cfg.num_heads, "data", "model")
               and fits)
@@ -573,7 +574,8 @@ def dit_forward_static(
             _freqs(cfg.head_dim, max_pos), start_pos, s, axis=0)
     t_static = kv_static[0].shape[2]
     impl = _select_attention_impl(cfg, s, t_static, cfg.head_dim,
-                                  mesh=mesh, kv_batch=kv_static[0].shape[1])
+                                  mesh=mesh, kv_batch=kv_static[0].shape[1],
+                                  q_batch=x.shape[0])
 
     cond = get_timestep_embedding(t, cfg.timestep_embed_size)
     c = params["cond"]
@@ -645,7 +647,8 @@ def dit_forward(
     t_static = (kv_text[0].shape[2] + kv_speaker[0].shape[2]
                 + (kv_latent[0].shape[2] if kv_latent is not None else 0))
     impl = _select_attention_impl(cfg, x.shape[1], t_static, cfg.head_dim,
-                                  mesh=mesh, kv_batch=kv_text[0].shape[1])
+                                  mesh=mesh, kv_batch=kv_text[0].shape[1],
+                                  q_batch=x.shape[0])
 
     cond = get_timestep_embedding(t, cfg.timestep_embed_size)
     c = params["cond"]

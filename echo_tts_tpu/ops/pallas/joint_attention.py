@@ -38,7 +38,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-NEG_INF = float("-inf")
 # Finite mask for the flash kernel: exp(MASK - m) underflows to exactly 0
 # in fp32 while keeping the online-softmax max/alpha arithmetic NaN-free
 # (with -inf, a fully-masked tile would produce exp(-inf - -inf) = NaN).
@@ -177,18 +176,21 @@ def fits_vmem(s: int, t_static: int, head_dim: int,
 
 
 def fits_vmem_flash(s: int, t_static: int, head_dim: int,
+                    q_batch: int = 3,
                     block_q: int = FLASH_BLOCK_Q,
                     block_kv: int = FLASH_BLOCK_KV,
                     budget_bytes: int = 14 * 1024 * 1024) -> bool:
     """VMEM estimate for one flash-kernel invocation: full self+static KV
     rows stay resident (they are small — only the logits blow up the
-    whole-row budget), logits are tiled (block_q, block_kv)."""
+    whole-row budget), logits are tiled (block_q, block_kv).  The fp32
+    bias is resident as the FULL (q_batch, t_pad) array (its BlockSpec is
+    un-tiled), so large-batch serving shapes must count it."""
     t_pad = _round_up(t_static, max(LANE, block_kv))
     s_pad = _round_up(s, block_kv)
     kv = 2 * 2 * (s_pad + t_pad) * head_dim      # bf16 k+v, both segments
     tiles = 4 * block_q * (block_kv + head_dim + 2 * LANE)  # logits+acc+m/l
     q_out = 2 * 2 * block_q * head_dim
-    bias_b = 4 * t_pad * 2
+    bias_b = 4 * t_pad * (q_batch + 1)           # (GB, T) bias + col_scale
     return kv + tiles + q_out + bias_b < budget_bytes
 
 

@@ -33,7 +33,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE = 128
+from .joint_attention import LANE, _round_up
+
+# Canonical dilation schedule of the codec's residual units
+# (reference: autoencoder.py:887-891); models/dac re-exports this.
 DILATIONS = (1, 3, 9)
 
 
@@ -98,10 +101,6 @@ def _res_stack_kernel(x_ref, halo_ref, a1_ref, w1_ref, b1_ref, a2_ref,
                         jnp.zeros_like(buf), buf)
 
     out_ref[...] = buf[halo:]
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 @functools.partial(jax.jit, static_argnames=("block_l", "interpret"))

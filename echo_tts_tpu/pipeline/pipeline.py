@@ -110,11 +110,19 @@ def ae_decode_stream_init(models: EchoModels, batch: int = 1) -> dict:
 
 
 def ae_decode_block(models: EchoModels, state: dict, latents: jnp.ndarray,
-                    *, max_positions: int = 8192):
+                    *, max_positions: Optional[int] = None):
     """Incremental ae_decode: (B, T_block, 80) latents -> ((B, T_block*2048)
     float32 waveform, new state).  Feeding consecutive blocks reproduces
     ae_decode of the concatenated latents (up to float reduction order) at
-    O(block) cost per block instead of O(context + block)."""
+    O(block) cost per block instead of O(context + block).
+
+    max_positions (default streaming.MAX_POSITIONS) bounds the absolute
+    RoPE positions one stream may reach; callers that know the total
+    stream length must check it up front — past the bound the RoPE slice
+    clamps silently (see serve/streaming.py)."""
+    from ..models.dac.streaming import MAX_POSITIONS
+    if max_positions is None:
+        max_positions = MAX_POSITIONS
     return _decode_block_core(models.dac_cfg, _dac_dtype(models),
                               max_positions)(
         models.dac_params, models.pca, state, latents)

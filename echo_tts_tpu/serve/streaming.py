@@ -58,6 +58,16 @@ def stream_synthesize(
     p.pop("sequence_length", None)  # streaming length = blocks * chunk_size
     ps = models.dit_cfg.speaker_patch_size
 
+    from ..models.dac.streaming import MAX_POSITIONS
+    total = (chunk_size * num_chunks
+             + (0 if continuation_latent is None
+                else continuation_latent.shape[1]))
+    if total > MAX_POSITIONS:
+        raise ValueError(
+            f"stream of {total} latents exceeds the decode RoPE bound "
+            f"{MAX_POSITIONS} (~{MAX_POSITIONS / 21.5 / 60:.1f} min); past "
+            "it the incremental decoder's RoPE slice would clamp silently")
+
     text_ids, text_mask = get_text_input_ids_and_mask(
         [text], max_length=MAX_TEXT_LENGTH)
 

@@ -11,11 +11,14 @@ Layout: each shard is one .npz with object arrays
   texts[i]:   str transcript
 Batches follow the train/step.py contract with STATIC shapes (bucketed
 sequence/text/speaker lengths — the same XLA discipline as serving):
-  speaker_latent = a prefix clip of the utterance's own latents (the
-  standard self-conditioning setup for voice-cloning TTS), rounded to the
-  speaker patch size; latents beyond `sequence_length` are cropped, shorter
-  utterances are zero-padded (the flow-matching loss has no length mask —
-  prefer corpora bucketed near `sequence_length`).
+  speaker_latent = a clip of the utterance's own latents DISJOINT from the
+  training window (speaker clip from the start, target window from after
+  it) — the standard self-conditioning setup for voice-cloning TTS.  The
+  regions must not overlap: the flow-matching loss has no region mask, so
+  an overlapping clip would leak the clean target through the speaker KV
+  and training would converge to a degenerate copy-through.  Latents
+  beyond `sequence_length` are cropped, shorter windows are zero-padded —
+  prefer corpora bucketed near `speaker_length + sequence_length`.
 """
 from __future__ import annotations
 
@@ -67,10 +70,13 @@ def write_shards(
         if not latents:
             return
         path = os.path.join(out_dir, f"shard_{len(paths):05d}.npz")
-        np.savez_compressed(
-            path,
-            latents=np.asarray(latents, dtype=object),
-            texts=np.asarray(texts, dtype=object))
+        # np.asarray(..., dtype=object) would DENSIFY equal-length shards
+        # into an (N, T, 80) array of boxed scalars (~8x bigger on disk);
+        # build the 1-D object array explicitly.
+        lat_arr = np.empty(len(latents), dtype=object)
+        lat_arr[:] = latents
+        np.savez_compressed(path, latents=lat_arr,
+                            texts=np.asarray(texts, dtype=object))
         paths.append(path)
         latents.clear()
         texts.clear()
@@ -115,11 +121,14 @@ def iter_batches(
                          np.float32)
         spk_m = np.zeros((batch_size, spk_len), bool)
         for i, (lat, _) in enumerate(group):
-            n = min(lat.shape[0], cfg.sequence_length)
-            lat_b[i, :n] = lat[:n]
-            k = min(lat.shape[0] // ps * ps, spk_len)
+            # Disjoint split: speaker clip = lat[:k], target = lat[k:...].
+            # Never give the speaker clip more than half the utterance so
+            # the target window is non-empty.
+            k = min(lat.shape[0] // 2, spk_len) // ps * ps
             spk_b[i, :k] = lat[:k]
             spk_m[i, :k] = True
+            target = lat[k:k + cfg.sequence_length]
+            lat_b[i, :target.shape[0]] = target
         ids, mask = get_text_input_ids_and_mask(
             [t for _, t in group], max_length=cfg.text_length)
         return {"latents": lat_b, "text_ids": np.asarray(ids),
@@ -127,11 +136,18 @@ def iter_batches(
                 "speaker_mask": spk_m}
 
     while True:
+        yielded = 0
         order = rng.permutation(len(shard_paths))
         for si in order:
             utts = load_shard(shard_paths[si])
             rng.shuffle(utts)
             for i in range(0, len(utts) - batch_size + 1, batch_size):
                 yield make_batch(utts[i:i + batch_size])
+                yielded += 1
+        if not yielded:
+            raise ValueError(
+                f"no shard holds >= batch_size={batch_size} utterances — "
+                "lower batch_size or raise shard_size (an infinite loop "
+                "would otherwise spin silently)")
         if not loop:
             return

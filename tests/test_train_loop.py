@@ -79,6 +79,12 @@ def test_data_pipeline_feeds_train_step(tiny_models, tmp_path):
     assert batch["speaker_latent"].shape == (4, 8, 80)
     ps = models.dit_cfg.speaker_patch_size
     assert batch["speaker_mask"].sum(axis=1).max() % ps == 0
+    # The speaker clip and the target window must be DISJOINT segments of
+    # the utterance (overlap would leak the clean target into the speaker
+    # KV): with random latents, frame 0 of each cannot coincide.
+    for i in range(4):
+        assert not np.allclose(batch["speaker_latent"][i, 0],
+                               batch["latents"][i, 0])
 
     cfg = tiny_dit_config(blockwise=False)
     params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
