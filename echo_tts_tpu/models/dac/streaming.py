@@ -32,12 +32,16 @@ import jax.numpy as jnp
 
 from ...config import AETransformerConfig, DACConfig
 from .conv import causal_conv1d, causal_conv_transpose1d, layer_norm, snake
-from .dac import DILATIONS
+from .dac import DILATIONS, zq_from_codes
+from .quantize import rvq_encode
 from .transformer import _apply_rope, _rms_norm_ae, _rope_table_bf16
 
-# Default RoPE-table bound for streaming: ~6.3 min of latents at 21.5 Hz,
-# past the reference's 300 s load_audio cap (inference.py:104-113).
+# Default RoPE-table bound for streaming decode: ~6.3 min of latents at
+# 21.5 Hz, past the reference's 300 s load_audio cap (inference.py:104-113).
 MAX_POSITIONS = 8192
+# The encoder-side transformer runs at the 512-sample hop (86 Hz), so the
+# encode bound must be ~4x higher for the same audio length.
+MAX_ENC_POSITIONS = 32768
 
 
 # ---------------------------------------------------------------------------
@@ -254,3 +258,121 @@ def decode_zq_block(params: dict, cfg: DACConfig, state: dict,
                     "conv_out": st_out},
     }
     return audio, new_state
+
+
+# ---------------------------------------------------------------------------
+# Incremental encode_zq (one-shot twin: dac.encode_zq) — the mirror of the
+# decode state, for O(block) encoding of long audio (dataset building,
+# >5-min speaker references).  The quantizers are pointwise per frame and
+# carry no state.
+# ---------------------------------------------------------------------------
+
+def init_encode_state(cfg: DACConfig, batch: int = 1,
+                      dtype=jnp.float32) -> dict:
+    """Zero state == the one-shot causal pads (encoder side)."""
+    dim = cfg.encoder_dim
+    blocks = []
+    for bi, (stride, n_t) in enumerate(
+            zip(cfg.encoder_rates, cfg.encoder_transformer_layers)):
+        in_dim, out_dim = dim, dim * 2
+        dim = out_dim
+        blk = {
+            "res": [{"conv1": _conv_state(batch, 7, 1, dil, in_dim, dtype)}
+                    for dil in DILATIONS],
+            # down conv k=2s stride s: history width k_eff - s = s
+            "down": _conv_state(batch, 2 * stride, stride, 1, in_dim, dtype),
+        }
+        if n_t:
+            tcfg = cfg.encoder_transformer_config(out_dim, n_t)
+            w = tcfg.window_size
+            blk["transformer"] = {
+                "k": jnp.zeros((tcfg.n_layer, batch, w - 1, tcfg.n_head,
+                                tcfg.head_dim), dtype),
+                "v": jnp.zeros((tcfg.n_layer, batch, w - 1, tcfg.n_head,
+                                tcfg.head_dim), dtype),
+                "pos": jnp.zeros((), jnp.int32),
+            }
+        blocks.append(blk)
+    qcfg = cfg.quantizer_transformer_config()
+    return {
+        "conv_in": _conv_state(batch, 7, 1, 1, 1, dtype),
+        "blocks": blocks,
+        "conv_out": _conv_state(batch, 3, 1, 1, dim, dtype),
+        "downsample": [{"dwconv": _conv_state(batch, 7, 1, 1,
+                                              cfg.latent_dim, dtype)}
+                       for _ in cfg.downsample_factor],
+        "pre": {
+            "k": jnp.zeros((qcfg.n_layer, batch, qcfg.window_size - 1,
+                            qcfg.n_head, qcfg.head_dim), dtype),
+            "v": jnp.zeros((qcfg.n_layer, batch, qcfg.window_size - 1,
+                            qcfg.n_head, qcfg.head_dim), dtype),
+            "pos": jnp.zeros((), jnp.int32),
+        },
+    }
+
+
+def encode_zq_block(params: dict, cfg: DACConfig, state: dict,
+                    audio: jnp.ndarray, *,
+                    max_positions: int = MAX_ENC_POSITIONS):
+    """audio (B, L_block, 1) -> (z_q (B, L_block/2048, 1024), new state).
+
+    L_block must be a multiple of frame_length (the one-shot right-pad to a
+    frame multiple is the caller's job, dac.encode_codes:126-129).  Exactly
+    dac.encode_zq restricted to the new block, with all causal context in
+    `state`; feeding consecutive blocks reproduces the one-shot encode of
+    the concatenated audio (reference one-shot: autoencoder.py:1080-1126).
+    Bit-exact at f32; in bf16 the VQ nearest-neighbor argmax can flip at
+    near-boundary frames (~1 per 3k frames measured on real audio) — the
+    same discreteness any bf16 re-ordering of the one-shot encode has.
+    """
+    if audio.shape[1] % cfg.frame_length != 0:
+        raise ValueError(
+            f"block length {audio.shape[1]} must be a multiple of "
+            f"frame_length {cfg.frame_length}")
+    ep = params["encoder"]
+    st_in, x = _sconv(state["conv_in"], audio, ep["conv_in"])
+    blk_states = []
+    dim = cfg.encoder_dim
+    for bi, (stride, n_t) in enumerate(
+            zip(cfg.encoder_rates, cfg.encoder_transformer_layers)):
+        dim *= 2
+        bp = ep["blocks"][bi]
+        bst = state["blocks"][bi]
+        res_states = []
+        for ri, dil in enumerate(DILATIONS):
+            st_r, x = _residual_unit_s(bp["res_units"][ri],
+                                       bst["res"][ri], x, dil)
+            res_states.append(st_r)
+        x = snake(x, bp["snake"])
+        st_d, x = _sconv(bst["down"], x, bp["down"], stride=stride)
+        new_blk = {"res": res_states, "down": st_d}
+        if n_t:
+            x, new_blk["transformer"] = transformer_decode_block(
+                bp["transformer"], cfg.encoder_transformer_config(dim, n_t),
+                bst["transformer"], x, max_positions)
+        blk_states.append(new_blk)
+    x = snake(x, ep["snake_out"])
+    st_out, z = _sconv(state["conv_out"], x, ep["conv_out"])
+
+    q = params["quantizer"]
+    ds_states = []
+    for i, factor in enumerate(cfg.downsample_factor):
+        z = causal_conv1d(z, q["downsample"][i]["conv"]["kernel"],
+                          q["downsample"][i]["conv"]["bias"], stride=factor)
+        st_cn, z = _convnext_block_s(
+            q["downsample"][i]["convnext"],
+            {"dwconv": state["downsample"][i]["dwconv"]}, z)
+        ds_states.append({"dwconv": st_cn["dwconv"]})
+    z, pre_st = transformer_decode_block(
+        q["pre"], cfg.quantizer_transformer_config(), state["pre"], z,
+        max_positions)
+
+    sem_zq, sem_codes = rvq_encode(q["semantic"], z)
+    _, res_codes = rvq_encode(q["residual"], z - sem_zq)
+    codes = jnp.concatenate([sem_codes, res_codes], axis=1)
+    z_q = zq_from_codes(q, cfg, codes)
+
+    new_state = {"conv_in": st_in, "blocks": blk_states,
+                 "conv_out": st_out, "downsample": ds_states,
+                 "pre": pre_st}
+    return z_q, new_state

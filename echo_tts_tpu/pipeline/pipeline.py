@@ -109,6 +109,43 @@ def ae_decode_stream_init(models: EchoModels, batch: int = 1) -> dict:
     return init_decode_state(models.dac_cfg, batch, _dac_dtype(models))
 
 
+@functools.lru_cache(maxsize=8)
+def _encode_block_core(dac_cfg: DACConfig, dtype, max_positions: int):
+    from ..models.dac.streaming import encode_zq_block
+
+    @jax.jit
+    def run(dac_params, pca, state, audio):
+        z_q, state = encode_zq_block(dac_params, dac_cfg, state,
+                                     audio.astype(dtype),
+                                     max_positions=max_positions)
+        return jdac.pca_whiten(z_q.astype(jnp.float32), pca), state
+    return run
+
+
+def ae_encode_stream_init(models: EchoModels, batch: int = 1) -> dict:
+    """Fresh incremental-encode state (models/dac/streaming.py)."""
+    from ..models.dac.streaming import init_encode_state
+    return init_encode_state(models.dac_cfg, batch, _dac_dtype(models))
+
+
+def ae_encode_block(models: EchoModels, state: dict, audio: jnp.ndarray,
+                    *, max_positions: Optional[int] = None):
+    """Incremental ae_encode: (B, L_block) or (B, L_block, 1) waveform
+    (L_block a frame_length multiple) -> ((B, L_block/2048, 80) whitened
+    latents, new state).  Feeding consecutive blocks reproduces ae_encode
+    of the concatenated audio at O(block) cost — unlike the reference's
+    30 s chunking, which encodes each chunk with NO left context
+    (inference.py:244-267)."""
+    from ..models.dac.streaming import MAX_ENC_POSITIONS
+    if max_positions is None:
+        max_positions = MAX_ENC_POSITIONS
+    if audio.ndim == 2:
+        audio = audio[..., None]
+    return _encode_block_core(models.dac_cfg, _dac_dtype(models),
+                              max_positions)(
+        models.dac_params, models.pca, state, audio)
+
+
 def ae_decode_block(models: EchoModels, state: dict, latents: jnp.ndarray,
                     *, max_positions: Optional[int] = None):
     """Incremental ae_decode: (B, T_block, 80) latents -> ((B, T_block*2048)

@@ -7,7 +7,9 @@ import jax
 import jax.numpy as jnp
 
 from echo_tts_tpu.pipeline.pipeline import (ae_decode, ae_decode_block,
-                                            ae_decode_stream_init)
+                                            ae_decode_stream_init,
+                                            ae_encode, ae_encode_block,
+                                            ae_encode_stream_init)
 from echo_tts_tpu.sampler.blockwise import (
     sample_blockwise_euler_cfg_independent_guidances)
 from echo_tts_tpu.serve.streaming import stream_synthesize
@@ -69,6 +71,33 @@ def test_incremental_decode_uneven_blocks(models):
         parts.append(np.asarray(audio))
     np.testing.assert_allclose(np.concatenate(parts, axis=-1), full,
                                atol=1e-5)
+
+
+def test_incremental_encode_matches_one_shot(models):
+    """Chained ae_encode_block must reproduce one-shot ae_encode of the
+    concatenated audio (encoder conv tails + window-512/128 rolling KV)."""
+    spl = models.dac_cfg.frame_length
+    rng = np.random.default_rng(8)
+    audio = jnp.asarray(np.tanh(rng.standard_normal((1, 12 * spl)))
+                        .astype(np.float32))
+    full = np.asarray(ae_encode(models, audio))
+
+    state = ae_encode_stream_init(models)
+    parts = []
+    for start_f in (0, 4, 6):
+        size = {0: 4, 4: 2, 6: 6}[start_f]
+        block = audio[:, start_f * spl:(start_f + size) * spl]
+        lat, state = ae_encode_block(models, state, block)
+        parts.append(np.asarray(lat))
+    streamed = np.concatenate(parts, axis=1)
+    np.testing.assert_allclose(streamed, full, atol=2e-5, rtol=1e-4)
+
+
+def test_incremental_encode_rejects_partial_frames(models):
+    state = ae_encode_stream_init(models)
+    with pytest.raises(ValueError, match="multiple of"):
+        ae_encode_block(models, state,
+                        jnp.zeros((1, models.dac_cfg.frame_length + 1)))
 
 
 def test_stream_matches_full_decode(models):
