@@ -10,6 +10,9 @@ Re-implements the reference worker's request contract
                     "session_id": str?, "boundary_mode":
                     "normalize"|"crossfade"|"none",
                     "max_chars_per_chunk": int?, "target_chunk_duration": s?}
+  streaming:       {"text": ..., "stream": true, "chunk_size"?,
+                    "num_chunks"?} -> per-block WAVs as they are produced
+                    (the stdin protocol emits one JSON line per block)
   health check:    {"action": "health_check"}
 
 Per-chunk seeds advance seed + idx*1000 (reference: handler.py:749); chunk
@@ -220,12 +223,115 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
     }
 
 
-def handler(job: Dict) -> Dict:
+def synthesize_stream(job_input: Dict, cfg: Optional[ServeConfig] = None,
+                      models: Optional[EchoModels] = None,
+                      on_block=None) -> Dict:
+    """Streaming synthesis job: audio is produced block-by-block
+    (serve/streaming.py) and each block is written to its own WAV as soon
+    as it exists, so a consumer can begin playback after the first block
+    (~0.5 s warm) instead of after the whole utterance.
+
+    input: {"text", "stream": true, "speaker_voice"?, "seed"?,
+            "chunk_size"? (latents, default 160), "num_chunks"? (default 4),
+            "parameters"? (sampler params sans sequence_length),
+            "session_id"?}
+    on_block(block_dict) fires per block (the stdin protocol emits these as
+    progressive JSON lines).  Returns the final envelope with all block
+    files + the concatenated WAV.  The reference has no streaming serving
+    path — this is a framework addition on its blockwise sampler.
+    """
+    from .streaming import stream_synthesize
+
+    request_id = job_input.get("request_id") or uuid.uuid4().hex[:12]
+    t_start = time.time()
+    cfg = cfg or load_config()
+
+    text = job_input.get("text")
+    if not text or not isinstance(text, str):
+        raise ValueError("'text' is required")
+    if len(text) > MAX_TEXT_CHARS:
+        raise ValueError(
+            f"text too long: {len(text)} > {MAX_TEXT_CHARS} chars")
+
+    params = dict(job_input.get("parameters") or {})
+    params.pop("sequence_length", None)
+    unknown = set(params) - set(SAMPLER_DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown sampler parameters: {sorted(unknown)}")
+
+    if models is None:
+        models = models_mod.load_models(
+            cfg.model_dir, allow_random=bool(job_input.get("_allow_random")))
+
+    speaker_audio = None
+    voice_name = job_input.get("speaker_voice")
+    if voice_name:
+        speaker_audio = audio_io.load_audio(_resolve_voice(cfg, voice_name))
+
+    out_dir = os.path.join(cfg.output_dir,
+                           job_input.get("session_id") or "")
+    os.makedirs(out_dir, exist_ok=True)
+
+    blocks = []
+    pieces = []
+    for chunk in stream_synthesize(
+            models, text, speaker_audio,
+            chunk_size=int(job_input.get("chunk_size", 160)),
+            num_chunks=int(job_input.get("num_chunks", 4)),
+            seed=int(job_input.get("seed", 0)),
+            sampler_params=params):
+        path = os.path.join(
+            out_dir, f"{request_id}_block{chunk.index:03d}.wav")
+        audio_io.write_wav(path, chunk.audio, SAMPLE_RATE)
+        info = {
+            "event": "block",
+            "request_id": request_id,
+            "index": chunk.index,
+            "local_path": path,
+            "latent_start": chunk.latent_start,
+            "latent_end": chunk.latent_end,
+            "duration_seconds": round(chunk.audio.shape[-1] / SAMPLE_RATE,
+                                      3),
+            "is_last": chunk.is_last,
+            "elapsed_seconds": round(time.time() - t_start, 3),
+        }
+        blocks.append(info)
+        pieces.append(chunk.audio)
+        if on_block is not None:
+            on_block(info)
+
+    audio = np.concatenate(pieces, axis=-1)
+    full_path = os.path.join(out_dir, f"{request_id}.wav")
+    audio_io.write_wav(full_path, audio, SAMPLE_RATE)
+    total = time.time() - t_start
+    return {
+        "status": "success",
+        "local_path": full_path,
+        "blocks": blocks,
+        "metadata": {
+            "request_id": request_id,
+            "sample_rate": SAMPLE_RATE,
+            "duration_seconds": round(audio.shape[-1] / SAMPLE_RATE, 3),
+            "num_blocks": len(blocks),
+            "seed": int(job_input.get("seed", 0)),
+            "speaker_voice": voice_name,
+            "device": device_info()["platform"],
+            "generation_time_seconds": round(total, 3),
+            "first_block_seconds": blocks[0]["elapsed_seconds"],
+            "rtf": round((audio.shape[-1] / SAMPLE_RATE)
+                         / max(total, 1e-9), 4),
+        },
+    }
+
+
+def handler(job: Dict, on_block=None) -> Dict:
     """Queue-worker entry point (reference: handler.py:806-816)."""
     try:
         job_input = job.get("input") or {}
         if job_input.get("action") == "health_check":
             return health_check()
+        if job_input.get("stream"):
+            return synthesize_stream(job_input, on_block=on_block)
         return synthesize(job_input)
     except Exception as exc:
         return {
@@ -275,7 +381,11 @@ def main(argv: Optional[List[str]] = None) -> None:
                                   "error_type": "JSONDecodeError",
                                   "traceback": ""}), flush=True)
                 continue
-            print(json.dumps(handler(job)), flush=True)
+            # streaming jobs emit one JSON line per audio block as it is
+            # produced, then the final envelope
+            out = handler(job, on_block=lambda b: print(json.dumps(b),
+                                                        flush=True))
+            print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -73,6 +73,38 @@ def test_synthesize_with_voice_fixture(models, cfg):
     assert np.isfinite(audio).all()
 
 
+def test_synthesize_stream_job(models, cfg):
+    """Streaming job: per-block WAVs appear as produced (on_block events),
+    and their concatenation equals the final file."""
+    events = []
+    out = h.synthesize_stream(
+        {"text": "Streamed serving.", "num_chunks": 2, "chunk_size": 4,
+         "parameters": {"num_steps": 2}, "seed": 1},
+        cfg=cfg, models=models, on_block=events.append)
+    assert out["status"] == "success"
+    assert len(out["blocks"]) == 2 == len(events)
+    assert [b["index"] for b in events] == [0, 1]
+    assert events[-1]["is_last"] and not events[0]["is_last"]
+    parts = []
+    for b in events:
+        audio, sr = audio_io.read_wav(b["local_path"])
+        assert sr == 44100
+        parts.append(audio)
+    full, _ = audio_io.read_wav(out["local_path"])
+    np.testing.assert_allclose(np.concatenate(parts, axis=-1), full,
+                               atol=1e-4)
+    md = out["metadata"]
+    assert md["num_blocks"] == 2
+    assert md["first_block_seconds"] <= md["generation_time_seconds"]
+
+
+def test_synthesize_stream_rejects_bad_params(models, cfg):
+    import pytest
+    with pytest.raises(ValueError, match="unknown sampler parameters"):
+        h.synthesize_stream({"text": "x", "parameters": {"bogus": 1}},
+                            cfg=cfg, models=models)
+
+
 def test_synthesize_chunk_seed_progression(models, cfg, monkeypatch):
     """Per-chunk seeds advance seed + idx*1000 (reference: handler.py:749)."""
     seeds = []
