@@ -321,7 +321,11 @@ def encode_zq_block(params: dict, cfg: DACConfig, state: dict,
     dac.encode_zq restricted to the new block, with all causal context in
     `state`; feeding consecutive blocks reproduces the one-shot encode of
     the concatenated audio (reference one-shot: autoencoder.py:1080-1126).
-    Bit-exact at f32; in bf16 the VQ nearest-neighbor argmax can flip at
+    Bit-exact at f32 when both sides run the unrolled XLA convs (CPU; or
+    TPU with the fused res-stack kernel ineligible) — on TPU the ONE-SHOT
+    encoder may take the fused kernel path (dac._res_stack), whose
+    different reduction order makes equality float-tolerance instead.  In
+    bf16 the VQ nearest-neighbor argmax can additionally flip at
     near-boundary frames (~1 per 3k frames measured on real audio) — the
     same discreteness any bf16 re-ordering of the one-shot encode has.
     """

@@ -104,9 +104,13 @@ def _decode_block_core(dac_cfg: DACConfig, dtype, max_positions: int):
 
 
 def ae_decode_stream_init(models: EchoModels, batch: int = 1) -> dict:
-    """Fresh incremental-decode state (models/dac/streaming.py)."""
+    """Fresh incremental-decode state.  The device state lives under
+    "inner"; "pos" is a HOST-side position mirror so the per-block RoPE
+    bound check costs no device sync (models/dac/streaming.py)."""
     from ..models.dac.streaming import init_decode_state
-    return init_decode_state(models.dac_cfg, batch, _dac_dtype(models))
+    return {"inner": init_decode_state(models.dac_cfg, batch,
+                                       _dac_dtype(models)),
+            "pos": 0}
 
 
 @functools.lru_cache(maxsize=8)
@@ -123,9 +127,12 @@ def _encode_block_core(dac_cfg: DACConfig, dtype, max_positions: int):
 
 
 def ae_encode_stream_init(models: EchoModels, batch: int = 1) -> dict:
-    """Fresh incremental-encode state (models/dac/streaming.py)."""
+    """Fresh incremental-encode state; "pos" mirrors the encoder-frame
+    position host-side (models/dac/streaming.py)."""
     from ..models.dac.streaming import init_encode_state
-    return init_encode_state(models.dac_cfg, batch, _dac_dtype(models))
+    return {"inner": init_encode_state(models.dac_cfg, batch,
+                                       _dac_dtype(models)),
+            "pos": 0}
 
 
 def ae_encode_block(models: EchoModels, state: dict, audio: jnp.ndarray,
@@ -141,9 +148,22 @@ def ae_encode_block(models: EchoModels, state: dict, audio: jnp.ndarray,
         max_positions = MAX_ENC_POSITIONS
     if audio.ndim == 2:
         audio = audio[..., None]
-    return _encode_block_core(models.dac_cfg, _dac_dtype(models),
-                              max_positions)(
-        models.dac_params, models.pca, state, audio)
+    # RoPE-bound guard: the binding rate is the encoder-tail transformer
+    # (hop_length frames); past the bound the in-graph slice clamps
+    # silently, so fail loudly here (host-side "pos" mirror, no sync).
+    cfg = models.dac_cfg
+    frames = audio.shape[1] // cfg.hop_length
+    pos = state["pos"]
+    if pos + frames > max_positions:
+        raise ValueError(
+            f"encode stream position {pos} + block {frames} frames "
+            f"exceeds the RoPE bound {max_positions} "
+            f"(~{max_positions * cfg.hop_length / cfg.sample_rate:.0f}"
+            " s of audio); raise max_positions consistently for longer")
+    lat, inner = _encode_block_core(models.dac_cfg, _dac_dtype(models),
+                                    max_positions)(
+        models.dac_params, models.pca, state["inner"], audio)
+    return lat, {"inner": inner, "pos": pos + frames}
 
 
 def ae_decode_block(models: EchoModels, state: dict, latents: jnp.ndarray,
@@ -154,15 +174,22 @@ def ae_decode_block(models: EchoModels, state: dict, latents: jnp.ndarray,
     O(block) cost per block instead of O(context + block).
 
     max_positions (default streaming.MAX_POSITIONS) bounds the absolute
-    RoPE positions one stream may reach; callers that know the total
-    stream length must check it up front — past the bound the RoPE slice
-    clamps silently (see serve/streaming.py)."""
+    RoPE positions one stream may reach; exceeding it raises here (the
+    in-graph RoPE slice would clamp silently).  The check uses the
+    host-side "pos" mirror — no device sync per block."""
     from ..models.dac.streaming import MAX_POSITIONS
     if max_positions is None:
         max_positions = MAX_POSITIONS
-    return _decode_block_core(models.dac_cfg, _dac_dtype(models),
-                              max_positions)(
-        models.dac_params, models.pca, state, latents)
+    pos = state["pos"]
+    if pos + latents.shape[1] > max_positions:
+        raise ValueError(
+            f"decode stream position {pos} + block {latents.shape[1]} "
+            f"exceeds the RoPE bound {max_positions}; raise max_positions "
+            "(consistently across the stream) for longer audio")
+    audio, inner = _decode_block_core(models.dac_cfg, _dac_dtype(models),
+                                      max_positions)(
+        models.dac_params, models.pca, state["inner"], latents)
+    return audio, {"inner": inner, "pos": pos + latents.shape[1]}
 
 
 def get_speaker_latent_and_mask(

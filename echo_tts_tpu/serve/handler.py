@@ -223,26 +223,37 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
     }
 
 
-def synthesize_stream(job_input: Dict, cfg: Optional[ServeConfig] = None,
-                      models: Optional[EchoModels] = None,
-                      on_block=None) -> Dict:
-    """Streaming synthesis job: audio is produced block-by-block
-    (serve/streaming.py) and each block is written to its own WAV as soon
-    as it exists, so a consumer can begin playback after the first block
-    (~0.5 s warm) instead of after the whole utterance.
+# Streaming jobs accept only these shape-affecting values so the number of
+# compiled programs stays bounded (the static-shape bucket discipline;
+# one program per (prefix_len, chunk_size) pair — see sampler/blockwise.py)
+STREAM_CHUNK_SIZES = (80, 160, 320)
+MAX_STREAM_CHUNKS = 16
+
+
+def iter_synthesize_stream(job_input: Dict,
+                           cfg: Optional[ServeConfig] = None,
+                           models: Optional[EchoModels] = None):
+    """Generator form of the streaming synthesis job: yields one
+    {"event": "block", ...} dict per produced audio block (its WAV already
+    on disk), then the final {"event": "final", ...} envelope — the shape
+    runpod's generator-handler protocol and the stdin protocol both need.
 
     input: {"text", "stream": true, "speaker_voice"?, "seed"?,
-            "chunk_size"? (latents, default 160), "num_chunks"? (default 4),
+            "chunk_size"? in STREAM_CHUNK_SIZES (default 160),
+            "num_chunks"? 1..MAX_STREAM_CHUNKS (default 4), "preset"?,
             "parameters"? (sampler params sans sequence_length),
             "session_id"?}
-    on_block(block_dict) fires per block (the stdin protocol emits these as
-    progressive JSON lines).  Returns the final envelope with all block
-    files + the concatenated WAV.  The reference has no streaming serving
-    path — this is a framework addition on its blockwise sampler.
+    The reference has no streaming serving path — this is a framework
+    addition on its blockwise sampler.
     """
+    from .storage import sanitize_component
     from .streaming import stream_synthesize
 
     request_id = job_input.get("request_id") or uuid.uuid4().hex[:12]
+    request_id = sanitize_component(request_id, "request_id")
+    session_id = job_input.get("session_id")
+    if session_id is not None:
+        session_id = sanitize_component(session_id, "session_id")
     t_start = time.time()
     cfg = cfg or load_config()
 
@@ -253,11 +264,21 @@ def synthesize_stream(job_input: Dict, cfg: Optional[ServeConfig] = None,
         raise ValueError(
             f"text too long: {len(text)} > {MAX_TEXT_CHARS} chars")
 
-    params = dict(job_input.get("parameters") or {})
+    chunk_size = int(job_input.get("chunk_size", 160))
+    if chunk_size not in STREAM_CHUNK_SIZES:
+        raise ValueError(
+            f"chunk_size must be one of {STREAM_CHUNK_SIZES} (static-shape "
+            "buckets; arbitrary values would compile a new program each)")
+    num_chunks = int(job_input.get("num_chunks", 4))
+    if not 1 <= num_chunks <= MAX_STREAM_CHUNKS:
+        raise ValueError(
+            f"num_chunks must be in [1, {MAX_STREAM_CHUNKS}]")
+
+    # preset + parameter validation/merge shared with the batch path
+    _, params = build_sample_fn(job_input.get("parameters"),
+                                preset=job_input.get("preset"))
+    params = dict(params)
     params.pop("sequence_length", None)
-    unknown = set(params) - set(SAMPLER_DEFAULTS)
-    if unknown:
-        raise ValueError(f"unknown sampler parameters: {sorted(unknown)}")
 
     if models is None:
         models = models_mod.load_models(
@@ -268,17 +289,15 @@ def synthesize_stream(job_input: Dict, cfg: Optional[ServeConfig] = None,
     if voice_name:
         speaker_audio = audio_io.load_audio(_resolve_voice(cfg, voice_name))
 
-    out_dir = os.path.join(cfg.output_dir,
-                           job_input.get("session_id") or "")
+    out_dir = (os.path.join(cfg.output_dir, session_id) if session_id
+               else cfg.output_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     blocks = []
     pieces = []
     for chunk in stream_synthesize(
-            models, text, speaker_audio,
-            chunk_size=int(job_input.get("chunk_size", 160)),
-            num_chunks=int(job_input.get("num_chunks", 4)),
-            seed=int(job_input.get("seed", 0)),
+            models, text, speaker_audio, chunk_size=chunk_size,
+            num_chunks=num_chunks, seed=int(job_input.get("seed", 0)),
             sampler_params=params):
         path = os.path.join(
             out_dir, f"{request_id}_block{chunk.index:03d}.wav")
@@ -297,16 +316,17 @@ def synthesize_stream(job_input: Dict, cfg: Optional[ServeConfig] = None,
         }
         blocks.append(info)
         pieces.append(chunk.audio)
-        if on_block is not None:
-            on_block(info)
+        yield info
 
     audio = np.concatenate(pieces, axis=-1)
-    full_path = os.path.join(out_dir, f"{request_id}.wav")
-    audio_io.write_wav(full_path, audio, SAMPLE_RATE)
+    # final artifact goes through the same Opus/S3 path as batch jobs
+    upload = save_and_upload_audio(audio, SAMPLE_RATE, cfg, request_id,
+                                   session_id=session_id)
     total = time.time() - t_start
-    return {
+    yield {
+        "event": "final",
         "status": "success",
-        "local_path": full_path,
+        **upload,
         "blocks": blocks,
         "metadata": {
             "request_id": request_id,
@@ -314,6 +334,7 @@ def synthesize_stream(job_input: Dict, cfg: Optional[ServeConfig] = None,
             "duration_seconds": round(audio.shape[-1] / SAMPLE_RATE, 3),
             "num_blocks": len(blocks),
             "seed": int(job_input.get("seed", 0)),
+            "sampler": params,
             "speaker_voice": voice_name,
             "device": device_info()["platform"],
             "generation_time_seconds": round(total, 3),
@@ -322,6 +343,21 @@ def synthesize_stream(job_input: Dict, cfg: Optional[ServeConfig] = None,
                          / max(total, 1e-9), 4),
         },
     }
+
+
+def synthesize_stream(job_input: Dict, cfg: Optional[ServeConfig] = None,
+                      models: Optional[EchoModels] = None,
+                      on_block=None) -> Dict:
+    """Blocking wrapper over iter_synthesize_stream: fires on_block per
+    block and returns the final envelope."""
+    final = None
+    for event in iter_synthesize_stream(job_input, cfg=cfg, models=models):
+        if event.get("event") == "block":
+            if on_block is not None:
+                on_block(event)
+        else:
+            final = event
+    return final
 
 
 def handler(job: Dict, on_block=None) -> Dict:
@@ -335,6 +371,27 @@ def handler(job: Dict, on_block=None) -> Dict:
         return synthesize(job_input)
     except Exception as exc:
         return {
+            "error": str(exc),
+            "error_type": type(exc).__name__,
+            "traceback": traceback.format_exc(),
+        }
+
+
+def handler_generator(job: Dict):
+    """Generator entry point for runpod's streaming protocol
+    (serverless.start with return_aggregate_stream): streaming jobs yield
+    per-block events as they are produced; batch jobs yield their single
+    envelope."""
+    try:
+        job_input = job.get("input") or {}
+        if job_input.get("action") == "health_check":
+            yield health_check()
+        elif job_input.get("stream"):
+            yield from iter_synthesize_stream(job_input)
+        else:
+            yield synthesize(job_input)
+    except Exception as exc:
+        yield {
             "error": str(exc),
             "error_type": type(exc).__name__,
             "traceback": traceback.format_exc(),
@@ -367,7 +424,10 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     try:
         import runpod
-        runpod.serverless.start({"handler": handler})
+        # generator handler + aggregate stream: streaming jobs deliver
+        # per-block events progressively, batch jobs behave as before
+        runpod.serverless.start({"handler": handler_generator,
+                                 "return_aggregate_stream": True})
     except ImportError:
         log.info("runpod not installed; serving JSON lines on stdin")
         for line in sys.stdin:

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import logging
 import os
+import re
 import time
 import uuid
 from typing import Dict, Optional
@@ -21,6 +22,19 @@ from .config import ServeConfig
 log = logging.getLogger("echo_tts_tpu.serve")
 
 PRESIGNED_URL_TTL = 3600  # reference: handler.py:581
+
+_SAFE_COMPONENT = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}\Z")
+
+
+def sanitize_component(name: str, what: str) -> str:
+    """Reject path separators / traversal in user-controlled filename parts
+    (session_id, request_id) — the analog of the voice path check
+    (reference: handler.py:711-718).  Returns the validated name."""
+    if not isinstance(name, str) or not _SAFE_COMPONENT.match(name):
+        raise ValueError(
+            f"invalid {what}: must match [A-Za-z0-9][A-Za-z0-9._-]*, "
+            "max 64 chars (no path components)")
+    return name
 
 
 def _s3_client(cfg: ServeConfig):
@@ -44,6 +58,9 @@ def save_and_upload_audio(
 ) -> Dict[str, object]:
     """audio: (channels, samples) float32 in [-1, 1]."""
     os.makedirs(cfg.output_dir, exist_ok=True)
+    request_id = sanitize_component(request_id, "request_id")
+    if session_id is not None:
+        session_id = sanitize_component(session_id, "session_id")
     stem = f"{session_id or 'session'}_{request_id}_{uuid.uuid4().hex[:8]}"
     wav_path = os.path.join(cfg.output_dir, stem + ".wav")
     audio_io.write_wav(wav_path, audio, sample_rate)

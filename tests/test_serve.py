@@ -73,13 +73,14 @@ def test_synthesize_with_voice_fixture(models, cfg):
     assert np.isfinite(audio).all()
 
 
-def test_synthesize_stream_job(models, cfg):
+def test_synthesize_stream_job(models, cfg, monkeypatch):
     """Streaming job: per-block WAVs appear as produced (on_block events),
     and their concatenation equals the final file."""
+    monkeypatch.setattr(h, "STREAM_CHUNK_SIZES", (4,))  # tiny-model bucket
     events = []
     out = h.synthesize_stream(
         {"text": "Streamed serving.", "num_chunks": 2, "chunk_size": 4,
-         "parameters": {"num_steps": 2}, "seed": 1},
+         "parameters": {"num_steps": 2}, "seed": 1, "session_id": "sess1"},
         cfg=cfg, models=models, on_block=events.append)
     assert out["status"] == "success"
     assert len(out["blocks"]) == 2 == len(events)
@@ -98,11 +99,49 @@ def test_synthesize_stream_job(models, cfg):
     assert md["first_block_seconds"] <= md["generation_time_seconds"]
 
 
-def test_synthesize_stream_rejects_bad_params(models, cfg):
+def test_handler_generator_streams(models, cfg, monkeypatch):
+    """runpod's generator protocol: block events then the final envelope."""
+    monkeypatch.setattr(h, "STREAM_CHUNK_SIZES", (4,))
+    monkeypatch.setattr(h, "load_config", lambda *a, **k: cfg)
+    monkeypatch.setattr(h.models_mod, "load_models",
+                        lambda *a, **k: models)
+    events = list(h.handler_generator(
+        {"input": {"text": "Gen protocol.", "stream": True,
+                   "num_chunks": 2, "chunk_size": 4,
+                   "parameters": {"num_steps": 2}, "_allow_random": True}}))
+    assert [e.get("event") for e in events] == ["block", "block", "final"]
+    assert events[-1]["status"] == "success"
+
+
+def test_synthesize_stream_validation(models, cfg):
     import pytest
     with pytest.raises(ValueError, match="unknown sampler parameters"):
         h.synthesize_stream({"text": "x", "parameters": {"bogus": 1}},
                             cfg=cfg, models=models)
+    with pytest.raises(ValueError, match="chunk_size must be one of"):
+        h.synthesize_stream({"text": "x", "chunk_size": 7},
+                            cfg=cfg, models=models)
+    with pytest.raises(ValueError, match="num_chunks must be in"):
+        h.synthesize_stream({"text": "x", "chunk_size": 160,
+                             "num_chunks": 0}, cfg=cfg, models=models)
+    # user-controlled path components are sanitized (no traversal/mkdir)
+    with pytest.raises(ValueError, match="invalid session_id"):
+        h.synthesize_stream({"text": "x", "session_id": "../evil"},
+                            cfg=cfg, models=models)
+    with pytest.raises(ValueError, match="invalid request_id"):
+        h.synthesize_stream({"text": "x", "request_id": "/abs/path"},
+                            cfg=cfg, models=models)
+
+
+def test_storage_sanitizes_components(cfg):
+    import pytest
+    from echo_tts_tpu.serve.storage import save_and_upload_audio
+    audio = np.zeros((1, 100), np.float32)
+    with pytest.raises(ValueError, match="invalid session_id"):
+        save_and_upload_audio(audio, 44100, cfg, "req1",
+                              session_id="../../etc")
+    with pytest.raises(ValueError, match="invalid request_id"):
+        save_and_upload_audio(audio, 44100, cfg, "a/b")
 
 
 def test_synthesize_chunk_seed_progression(models, cfg, monkeypatch):

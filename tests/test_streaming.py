@@ -100,6 +100,21 @@ def test_incremental_encode_rejects_partial_frames(models):
                         jnp.zeros((1, models.dac_cfg.frame_length + 1)))
 
 
+def test_stream_rope_bound_guards(models):
+    """Past the RoPE-table bound the in-graph slice would clamp silently;
+    the host-side position mirror must raise instead."""
+    state = ae_decode_stream_init(models)
+    state["pos"] = 8190
+    with pytest.raises(ValueError, match="RoPE bound"):
+        ae_decode_block(models, state, jnp.zeros((1, 4, 80)))
+
+    st = ae_encode_stream_init(models)
+    st["pos"] = 32766
+    with pytest.raises(ValueError, match="RoPE bound"):
+        ae_encode_block(models, st,
+                        jnp.zeros((1, 4 * models.dac_cfg.frame_length)))
+
+
 def test_stream_matches_full_decode(models):
     """Concatenated streamed audio must equal decoding the final latent
     buffer in one shot (now via the incremental state, no context window)."""
