@@ -398,16 +398,40 @@ def handler_generator(job: Dict):
         }
 
 
+def warmup_compile(models: EchoModels,
+                   parameters: Optional[Dict] = None) -> None:
+    """Compile the default-shape production programs so the first request
+    pays no XLA compile (run with a persistent JAX_COMPILATION_CACHE_DIR
+    and every restart is warm): text bucket 768 with (a) no voice and
+    (b) the 640-latent speaker bucket, default sampler params, plus the
+    codec decode.  Goes through the real request paths so the cache keys
+    match exactly."""
+    sample_fn, _ = build_sample_fn(parameters)
+    t0 = time.time()
+    sample_pipeline(models, sample_fn, "Warmup utterance.", None,
+                    rng_seed=0)
+    log.info("warmup compile (no voice): %.1fs", time.time() - t0)
+    t0 = time.time()
+    spl = models_frame_length(models)
+    silence = np.zeros((1, 640 * spl), np.float32)
+    sample_pipeline(models, sample_fn, "Warmup utterance.", silence,
+                    rng_seed=0, pad_to_max_speaker_latent_length=640)
+    log.info("warmup compile (speaker bucket 640): %.1fs",
+             time.time() - t0)
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     """CLI: `--warmup` pre-loads models then exits
-    (reference: handler.py:822-861); otherwise starts the runpod worker when
-    available, else serves stdin/stdout JSON lines."""
+    (reference: handler.py:822-861); `--warmup-compile` additionally
+    compiles the default-shape programs.  Otherwise starts the runpod
+    worker when available, else serves stdin/stdout JSON lines."""
     import argparse
     import json
     import sys
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--warmup", action="store_true")
+    parser.add_argument("--warmup-compile", action="store_true")
     parser.add_argument("--allow-random-weights", action="store_true")
     args = parser.parse_args(argv)
 
@@ -416,9 +440,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     for issue in cfg.issues:
         log.warning("config: %s (starting anyway)", issue)
 
-    if args.warmup:
-        models_mod.load_models(cfg.model_dir,
-                               allow_random=args.allow_random_weights)
+    if args.warmup or args.warmup_compile:
+        models = models_mod.load_models(
+            cfg.model_dir, allow_random=args.allow_random_weights)
+        if args.warmup_compile:
+            warmup_compile(models)
         log.info("warmup complete")
         return
 

@@ -133,6 +133,13 @@ def test_synthesize_stream_validation(models, cfg):
                             cfg=cfg, models=models)
 
 
+def test_warmup_compile_runs_production_paths(models):
+    """warmup_compile drives the real no-voice + speaker-bucket request
+    paths (fast params on the tiny model)."""
+    h.warmup_compile(models, parameters={"num_steps": 2,
+                                         "sequence_length": 8})
+
+
 def test_storage_sanitizes_components(cfg):
     import pytest
     from echo_tts_tpu.serve.storage import save_and_upload_audio
