@@ -277,22 +277,23 @@ def static_attention_mask(
     return jnp.concatenate(parts, axis=-1)
 
 
-def latent_prefix_mask(batch_size: int, num_latents: int, start_pos: int,
-                       patch_size: int) -> np.ndarray:
-    """position * patch_size < start_pos (reference: model.py:243-244).
-    Static (numpy) — start_pos is a Python int per block."""
-    positions = np.arange(num_latents) * patch_size
-    return np.broadcast_to(positions < start_pos, (batch_size, num_latents))
-
-
 def latent_prefix_mask_dynamic(batch_size: int, num_latents: int,
-                               start_pos: jnp.ndarray,
+                               start_pos,
                                patch_size: int) -> jnp.ndarray:
-    """In-graph variant of latent_prefix_mask for a TRACED start_pos, so one
-    compiled block program serves every block position."""
+    """position * patch_size < start_pos (reference: model.py:243-244),
+    computed in-graph — start_pos may be a TRACED scalar, so one compiled
+    block program serves every block position."""
     positions = jnp.arange(num_latents) * patch_size
     return jnp.broadcast_to(positions < start_pos,
                             (batch_size, num_latents))
+
+
+def latent_prefix_mask(batch_size: int, num_latents: int, start_pos: int,
+                       patch_size: int) -> np.ndarray:
+    """Concrete (numpy) view of latent_prefix_mask_dynamic for host-side
+    callers and tests."""
+    return np.asarray(latent_prefix_mask_dynamic(
+        batch_size, num_latents, int(start_pos), patch_size))
 
 
 # ---------------------------------------------------------------------------

@@ -180,14 +180,14 @@ def fits_vmem_flash(s: int, t_static: int, head_dim: int,
                     block_q: int = FLASH_BLOCK_Q,
                     block_kv: int = FLASH_BLOCK_KV,
                     budget_bytes: int = 14 * 1024 * 1024) -> bool:
-    """VMEM estimate for one flash-kernel invocation: full self+static KV
-    rows stay resident (they are small — only the logits blow up the
-    whole-row budget), logits are tiled (block_q, block_kv).  The fp32
-    bias is resident as the FULL (q_batch, t_pad) array (its BlockSpec is
-    un-tiled), so large-batch serving shapes must count it."""
+    """VMEM estimate for one flash-kernel invocation.  K/V are TILED by
+    their BlockSpecs (one (block_kv, Dh) block per segment resident at a
+    time, ×2 for pipelining), so arbitrarily long KV rows stream from HBM
+    — only the fp32 bias is resident as the FULL (q_batch, t_pad) array
+    (its BlockSpec is un-tiled), so large batch × long static KV is the
+    real bound."""
     t_pad = _round_up(t_static, max(LANE, block_kv))
-    s_pad = _round_up(s, block_kv)
-    kv = 2 * 2 * (s_pad + t_pad) * head_dim      # bf16 k+v, both segments
+    kv = 4 * 2 * 2 * block_kv * head_dim      # bf16 k+v tiles ×2 buffers
     tiles = 4 * block_q * (block_kv + head_dim + 2 * LANE)  # logits+acc+m/l
     q_out = 2 * 2 * block_q * head_dim
     bias_b = 4 * t_pad * (q_batch + 1)           # (GB, T) bias + col_scale

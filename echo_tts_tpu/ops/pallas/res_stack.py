@@ -47,8 +47,10 @@ def _halo_width(dilations: Sequence[int]) -> int:
 def res_stack_eligible(length: int, c: int) -> bool:
     """Auto-dispatch guard: single real accelerator, a bandwidth-bound
     length, and all three units' weights resident in VMEM (C <= 384).
-    Multi-device processes fall back to XLA (GSPMD cannot partition a
-    Mosaic kernel on its own — same policy as the attention kernel)."""
+    Multi-device processes fall back to XLA — GSPMD cannot partition a
+    Mosaic kernel on its own, and unlike the attention kernel (which has
+    fused_joint_attention_sharded) no shard_map wrapper exists here yet;
+    codec decode on meshes is rare enough that the XLA path suffices."""
     return (c <= 384 and length >= 4096
             and jax.default_backend() != "cpu"
             and jax.device_count() == 1)

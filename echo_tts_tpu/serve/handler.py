@@ -39,7 +39,10 @@ from ..sampler.euler import sample_euler_cfg_independent_guidances
 from ..utils.profiling import StageTimer
 from . import models as models_mod
 from .config import AUDIO_EXTENSIONS, ServeConfig, device_info, load_config, scan_voices
-from .storage import save_and_upload_audio
+# Shape buckets live in serve/presets.py (repo rule); bound here so tests
+# can shrink them via monkeypatch on this module.
+from .presets import MAX_STREAM_CHUNKS, STREAM_CHUNK_SIZES
+from .storage import sanitize_component, save_and_upload_audio
 
 log = logging.getLogger("echo_tts_tpu.serve")
 
@@ -112,7 +115,12 @@ def health_check(cfg: Optional[ServeConfig] = None) -> Dict:
 def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
                models: Optional[EchoModels] = None) -> Dict:
     """Main synthesis path (reference: handler.py:682-803)."""
-    request_id = job_input.get("request_id") or uuid.uuid4().hex[:12]
+    # Sanitize user-controlled filename components BEFORE any synthesis
+    # work — failing at upload time would waste the full generation.
+    request_id = sanitize_component(
+        job_input.get("request_id") or uuid.uuid4().hex[:12], "request_id")
+    if job_input.get("session_id") is not None:
+        sanitize_component(job_input["session_id"], "session_id")
     t_start = time.time()
     timer = StageTimer()
     cfg = cfg or load_config()
@@ -223,11 +231,6 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
     }
 
 
-# Streaming jobs accept only these shape-affecting values so the number of
-# compiled programs stays bounded (the static-shape bucket discipline;
-# one program per (prefix_len, chunk_size) pair — see sampler/blockwise.py)
-STREAM_CHUNK_SIZES = (80, 160, 320)
-MAX_STREAM_CHUNKS = 16
 
 
 def iter_synthesize_stream(job_input: Dict,
@@ -246,7 +249,6 @@ def iter_synthesize_stream(job_input: Dict,
     The reference has no streaming serving path — this is a framework
     addition on its blockwise sampler.
     """
-    from .storage import sanitize_component
     from .streaming import stream_synthesize
 
     request_id = job_input.get("request_id") or uuid.uuid4().hex[:12]
@@ -285,9 +287,15 @@ def iter_synthesize_stream(job_input: Dict,
             cfg.model_dir, allow_random=bool(job_input.get("_allow_random")))
 
     speaker_audio = None
+    speaker_bucket = None
     voice_name = job_input.get("speaker_voice")
     if voice_name:
         speaker_audio = audio_io.load_audio(_resolve_voice(cfg, voice_name))
+        # same static-shape bucketing as the batch path — unbucketed voice
+        # lengths would compile a fresh prefill + block program per length
+        from .presets import pick_speaker_bucket
+        n_latents = speaker_audio.shape[-1] // models_frame_length(models)
+        speaker_bucket = pick_speaker_bucket(n_latents)
 
     out_dir = (os.path.join(cfg.output_dir, session_id) if session_id
                else cfg.output_dir)
@@ -298,7 +306,7 @@ def iter_synthesize_stream(job_input: Dict,
     for chunk in stream_synthesize(
             models, text, speaker_audio, chunk_size=chunk_size,
             num_chunks=num_chunks, seed=int(job_input.get("seed", 0)),
-            sampler_params=params):
+            sampler_params=params, speaker_bucket=speaker_bucket):
         path = os.path.join(
             out_dir, f"{request_id}_block{chunk.index:03d}.wav")
         audio_io.write_wav(path, chunk.audio, SAMPLE_RATE)
@@ -378,10 +386,14 @@ def handler(job: Dict, on_block=None) -> Dict:
 
 
 def handler_generator(job: Dict):
-    """Generator entry point for runpod's streaming protocol
-    (serverless.start with return_aggregate_stream): streaming jobs yield
-    per-block events as they are produced; batch jobs yield their single
-    envelope."""
+    """Generator entry point for runpod's streaming protocol — opt-in:
+    `runpod.serverless.start({"handler": handler_generator,
+    "return_aggregate_stream": True})` delivers per-block events over
+    /stream, but ALSO changes every aggregated output (batch jobs,
+    health checks, errors) to a one-element LIST of the envelope.  The
+    default deployment keeps the dict-shaped `handler` contract
+    (identical to the reference worker); streaming jobs there still write
+    block WAVs progressively to the output dir for polling."""
     try:
         job_input = job.get("input") or {}
         if job_input.get("action") == "health_check":
@@ -450,10 +462,12 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     try:
         import runpod
-        # generator handler + aggregate stream: streaming jobs deliver
-        # per-block events progressively, batch jobs behave as before
-        runpod.serverless.start({"handler": handler_generator,
-                                 "return_aggregate_stream": True})
+        # dict-shaped contract (matches the reference worker); swap in
+        # handler_generator + return_aggregate_stream for per-block
+        # /stream delivery — see handler_generator's docstring for the
+        # output-shape trade-off.  Streaming jobs still write block WAVs
+        # progressively under this handler.
+        runpod.serverless.start({"handler": handler})
     except ImportError:
         log.info("runpod not installed; serving JSON lines on stdin")
         for line in sys.stdin:

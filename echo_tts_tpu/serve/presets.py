@@ -26,6 +26,11 @@ TEXT_BUCKETS = "768"
 SPEAKER_BUCKETS = "640, 2816, 6400"
 # Generation-length buckets for auto_sequence_length (latents; 640 ≈ 29.7 s)
 SEQUENCE_BUCKETS = "160, 320, 480, 640"
+# Streaming-job block sizes (latents) and block-count cap: only these are
+# accepted so the number of compiled (prefix_len, block_size) programs
+# stays bounded (sampler/blockwise.py compiles one program per pair)
+STREAM_CHUNK_SIZES = (80, 160, 320)
+MAX_STREAM_CHUNKS = 16
 
 # Host-side speech-rate heuristic shared with the chunker
 # (reference: handler.py:109 target_chars = duration * 12)

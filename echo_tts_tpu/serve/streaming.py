@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import MAX_TEXT_LENGTH, SAMPLER_DEFAULTS
+from ..config import (MAX_SPEAKER_LATENT_LENGTH, MAX_TEXT_LENGTH,
+                      SAMPLER_DEFAULTS)
 from ..pipeline.pipeline import (EchoModels, ae_decode_block,
                                  ae_decode_stream_init,
                                  get_speaker_latent_and_mask)
@@ -51,6 +52,7 @@ def stream_synthesize(
     seed: int = 0,
     sampler_params: Optional[Dict] = None,
     continuation_latent: Optional[np.ndarray] = None,
+    speaker_bucket: Optional[int] = None,
 ) -> Iterator[StreamChunk]:
     """Yield audio block-by-block for one utterance."""
     p = dict(SAMPLER_DEFAULTS)
@@ -76,8 +78,14 @@ def stream_synthesize(
                                   np.float32)
         speaker_mask = np.zeros((1, ps), bool)
     else:
+        # speaker_bucket pads the reference to a static bucket length so
+        # serving voices of any length share compiled programs
+        # (serve/presets.py:pick_speaker_bucket)
         speaker_latent, speaker_mask = get_speaker_latent_and_mask(
-            models, speaker_audio)
+            models, speaker_audio,
+            max_speaker_latent_length=(speaker_bucket
+                                       or MAX_SPEAKER_LATENT_LENGTH),
+            pad_to_max=speaker_bucket is not None)
 
     blocks = iter_blockwise_euler_cfg_independent_guidances(
         models.dit_params, models.dit_cfg,

@@ -14,11 +14,11 @@ sequence/text/speaker lengths — the same XLA discipline as serving):
   speaker_latent = a clip of the utterance's own latents DISJOINT from the
   training window (speaker clip from the start, target window from after
   it) — the standard self-conditioning setup for voice-cloning TTS.  The
-  regions must not overlap: the flow-matching loss has no region mask, so
-  an overlapping clip would leak the clean target through the speaker KV
-  and training would converge to a degenerate copy-through.  Latents
-  beyond `sequence_length` are cropped, shorter windows are zero-padded —
-  prefer corpora bucketed near `speaker_length + sequence_length`.
+  regions must not overlap: an overlapping clip would leak the clean
+  target through the speaker KV and training would converge to a
+  degenerate copy-through.  Latents beyond `sequence_length` are cropped;
+  shorter windows are zero-padded and EXCLUDED from the loss via
+  `latent_mask` (train/step.py) so padding is never trained as silence.
 """
 from __future__ import annotations
 
@@ -117,6 +117,7 @@ def iter_batches(
     def make_batch(group: List[Tuple[np.ndarray, str]]) -> dict:
         lat_b = np.zeros((batch_size, cfg.sequence_length, group[0][0].shape[-1]),
                          np.float32)
+        lat_m = np.zeros((batch_size, cfg.sequence_length), bool)
         spk_b = np.zeros((batch_size, spk_len, group[0][0].shape[-1]),
                          np.float32)
         spk_m = np.zeros((batch_size, spk_len), bool)
@@ -129,9 +130,11 @@ def iter_batches(
             spk_m[i, :k] = True
             target = lat[k:k + cfg.sequence_length]
             lat_b[i, :target.shape[0]] = target
+            lat_m[i, :target.shape[0]] = True
         ids, mask = get_text_input_ids_and_mask(
             [t for _, t in group], max_length=cfg.text_length)
-        return {"latents": lat_b, "text_ids": np.asarray(ids),
+        return {"latents": lat_b, "latent_mask": lat_m,
+                "text_ids": np.asarray(ids),
                 "text_mask": np.asarray(mask), "speaker_latent": spk_b,
                 "speaker_mask": spk_m}
 

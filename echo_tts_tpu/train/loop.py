@@ -8,7 +8,7 @@ path this framework already has (pipeline.ae_encode); assemble batches as
 
     {"latents": (B, S, 80) f32, "text_ids": (B, T) i32,
      "text_mask": (B, T) bool, "speaker_latent": (B, Sp, 80) f32,
-     "speaker_mask": (B, Sp) bool}
+     "speaker_mask": (B, Sp) bool, "latent_mask": (B, S) bool optional}
 """
 from __future__ import annotations
 

@@ -46,6 +46,9 @@ def flow_matching_loss(
       'text_mask':      (B, T) bool,
       'speaker_latent': (B, Sp, 80) f32,
       'speaker_mask':   (B, Sp) bool,
+      'latent_mask':    (B, S) bool, optional — valid target positions;
+                        without it zero-padded window tails would be
+                        trained as real "silence" latents,
     }
     """
     x0 = batch["latents"].astype(jnp.float32)
@@ -64,7 +67,13 @@ def flow_matching_loss(
         params, cfg, x_t.astype(dtype), t.astype(dtype),
         batch["text_mask"], batch["speaker_mask"], kv_text, kv_speaker,
         remat=True)
-    return jnp.mean(jnp.square(v_pred - v_target))
+    sq = jnp.square(v_pred - v_target)
+    mask = batch.get("latent_mask")
+    if mask is None:
+        return jnp.mean(sq)
+    m = mask.astype(jnp.float32)[:, :, None]
+    return jnp.sum(sq * m) / jnp.maximum(
+        jnp.sum(m) * x0.shape[-1], 1.0)
 
 
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01,
@@ -99,6 +108,7 @@ def make_train_step(cfg: EchoDiTConfig, tx: optax.GradientTransformation,
         "text_mask": NamedSharding(mesh, P(pmesh.DATA_AXIS, None)),
         "speaker_latent": NamedSharding(mesh, P(pmesh.DATA_AXIS, None, None)),
         "speaker_mask": NamedSharding(mesh, P(pmesh.DATA_AXIS, None)),
+        "latent_mask": NamedSharding(mesh, P(pmesh.DATA_AXIS, None)),
     }
 
     @jax.jit

@@ -234,4 +234,7 @@ def test_fits_vmem_guard():
     assert fits_vmem(640, 768 + 1600, 128)        # published worst case
     assert not fits_vmem(4096, 100_000, 128)      # absurd shapes fall back
     assert fits_vmem_flash(4096, 2432, 128)       # flash covers big S
-    assert not fits_vmem_flash(4096, 100_000, 128)  # KV itself too big
+    # KV streams in tiles, so even very long static KV fits at small batch
+    assert fits_vmem_flash(4096, 100_000, 128)
+    # ... but the full-resident (GB, T) fp32 bias bounds batch x KV length
+    assert not fits_vmem_flash(4096, 100_000, 128, q_batch=512)

@@ -75,6 +75,9 @@ def test_data_pipeline_feeds_train_step(tiny_models, tmp_path):
                                  seed=1)
     batch = next(batches)
     assert batch["latents"].shape == (4, 16, 80)
+    assert batch["latent_mask"].shape == (4, 16)
+    # padded window tails are excluded from the loss
+    assert (batch["latents"][~batch["latent_mask"]] == 0).all()
     assert batch["text_ids"].shape == (4, 32)
     assert batch["speaker_latent"].shape == (4, 8, 80)
     ps = models.dit_cfg.speaker_patch_size
