@@ -99,6 +99,34 @@ def test_synthesize_stream_job(models, cfg, monkeypatch):
     assert md["first_block_seconds"] <= md["generation_time_seconds"]
 
 
+def test_synthesize_stream_with_voice_buckets(models, cfg, monkeypatch):
+    """A streamed voice job pads the speaker reference to a preset bucket
+    so one program serves any voice length."""
+    import shutil
+    monkeypatch.setattr(h, "STREAM_CHUNK_SIZES", (4,))
+    fixture = os.path.join(os.path.dirname(__file__), "data", "voice.wav")
+    shutil.copy(fixture, os.path.join(cfg.voices_dir, "v.wav"))
+    picked = []
+    import echo_tts_tpu.serve.presets as presets
+    real_pick = presets.pick_speaker_bucket
+    monkeypatch.setattr(presets, "pick_speaker_bucket",
+                        lambda n, **k: picked.append(n) or real_pick(n, **k))
+    out = h.synthesize_stream(
+        {"text": "Voice stream.", "num_chunks": 2, "chunk_size": 4,
+         "parameters": {"num_steps": 2}, "speaker_voice": "v.wav"},
+        cfg=cfg, models=models)
+    assert out["status"] == "success"
+    assert len(picked) == 1  # bucketing engaged
+
+
+def test_handler_generator_error_envelope(monkeypatch, cfg):
+    monkeypatch.setattr(h, "load_config", lambda *a, **k: cfg)
+    events = list(h.handler_generator(
+        {"input": {"stream": True, "text": ""}}))
+    assert len(events) == 1
+    assert events[0]["error_type"] == "ValueError"
+
+
 def test_handler_generator_streams(models, cfg, monkeypatch):
     """runpod's generator protocol: block events then the final envelope."""
     monkeypatch.setattr(h, "STREAM_CHUNK_SIZES", (4,))
