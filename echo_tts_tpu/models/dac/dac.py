@@ -18,7 +18,7 @@ Re-implements (reference: autoencoder.py:839-1138):
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

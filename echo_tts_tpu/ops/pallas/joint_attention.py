@@ -106,6 +106,15 @@ def _flash_kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref, scale_ref,
 
     @pl.when(ki == 0)
     def _init():
+        # m init == MASK_VALUE: a FULLY-masked tile whose logits all equal
+        # MASK_VALUE would give e = exp(0) = 1 per masked column, briefly
+        # corrupting (l, acc) — but the first tile containing any real
+        # logit rescales by alpha = exp(MASK_VALUE - m_real) = 0, wiping
+        # the corruption.  The only shape that could emit garbage is a
+        # query row whose EVERY kv tile is masked; self tile 0 always has
+        # unmasked column 0 (s_kv >= 1 below), so each row sees at least
+        # one real logit and the output is exact.  Padded query rows
+        # (s_pad_q > s) produce finite garbage and are sliced off.
         m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -383,6 +392,17 @@ def fused_joint_attention(
 
     if flash is None:
         flash = not fits_vmem(s, t, dh)
+        if flash and not fits_vmem_flash(s, t, dh, gb):
+            # Neither variant fits: the whole-row (S, T) logits blow VMEM
+            # and the flash kernel's un-tiled fp32 (GB, T) bias does too
+            # (very large batch x very long static KV).  Auto dispatch in
+            # models/dit.py:_select_attention_impl never routes such shapes
+            # here; a forced attention_impl='pallas' could, and silently
+            # compiling an over-budget kernel is worse than refusing.
+            raise ValueError(
+                f"joint-attention shape S={s}, T={t}, GB={gb} fits neither "
+                "the whole-row nor the flash Pallas kernel's VMEM budget; "
+                "use attention_impl='xla' for this shape")
     if flash:
         # keep tiles within the actual extents for small (test) shapes
         block_q = min(block_q, _round_up(s, 8))
