@@ -147,6 +147,13 @@ class DACConfig:
     downsample_factor: Tuple[int, ...] = (2, 2)
     quantizer_transformer_layers: int = 8
 
+    # Opt-in fast snake for the DECODER only: sin^2 via a range-reduced
+    # degree-4 polynomial (<=1.6e-6 abs error — below bf16 rounding; see
+    # models/dac/conv.py:sin2_poly).  The decoder is bound by the VPU sin
+    # at the published config; the encoder always runs exact sin so codes
+    # are unaffected.  Default off = bit-identical to the reference.
+    snake_approx: bool = False
+
     @property
     def hop_length(self) -> int:
         h = 1

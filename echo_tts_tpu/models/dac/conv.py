@@ -16,6 +16,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ...ops.activations import sin2_poly
+
 _DN = ("NHC", "HIO", "NHC")
 
 
@@ -146,9 +148,17 @@ def causal_conv_transpose1d(x: jnp.ndarray, kernel: jnp.ndarray,
     return out
 
 
-def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+def snake(x: jnp.ndarray, alpha: jnp.ndarray,
+          approx: bool = False) -> jnp.ndarray:
     """Snake activation x + (1/(a+1e-9)) sin^2(a x)
-    (reference: autoencoder.py:96-109).  alpha: (C,) in NLC."""
+    (reference: autoencoder.py:96-109).  alpha: (C,) in NLC.
+    approx=True uses sin2_poly (<=1.6e-6 abs error in sin^2 — below bf16
+    rounding of the surrounding compute)."""
+    if approx:
+        # sin2_poly computes in f32; cast back so the approx path keeps
+        # exactly the exact path's dtype flow (bf16 stays bf16).
+        s2 = sin2_poly(alpha * x).astype(x.dtype)
+        return x + (1.0 / (alpha + 1e-9)) * s2
     return x + (1.0 / (alpha + 1e-9)) * jnp.square(jnp.sin(alpha * x))
 
 
@@ -175,13 +185,14 @@ def convnext_block(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     return inp + x
 
 
-def residual_unit(p: dict, x: jnp.ndarray, dilation: int) -> jnp.ndarray:
+def residual_unit(p: dict, x: jnp.ndarray, dilation: int,
+                  approx_snake: bool = False) -> jnp.ndarray:
     """Snake -> causal k7 dilated conv -> Snake -> causal k1 conv, residual
     (reference: autoencoder.py:879-900; causal branch pads nothing since
     causal convs are length-preserving at stride 1)."""
-    y = snake(x, p["snake1"])
+    y = snake(x, p["snake1"], approx=approx_snake)
     y = causal_conv1d(y, p["conv1"]["kernel"], p["conv1"]["bias"],
                       dilation=dilation)
-    y = snake(y, p["snake2"])
+    y = snake(y, p["snake2"], approx=approx_snake)
     y = causal_conv1d(y, p["conv2"]["kernel"], p["conv2"]["bias"])
     return x + y

@@ -32,14 +32,15 @@ from .quantize import rvq_encode, rvq_from_codes
 from .transformer import transformer_forward
 
 
-def _res_stack(res_units, x: jnp.ndarray) -> jnp.ndarray:
+def _res_stack(res_units, x: jnp.ndarray,
+               approx_snake: bool = False) -> jnp.ndarray:
     """Three dilated residual units; fused Pallas chain on a single real
     accelerator at bandwidth-bound shapes (ops/pallas/res_stack.py), the
     unrolled XLA convs otherwise."""
     if res_stack_eligible(x.shape[1], x.shape[2]):
-        return fused_res_stack(res_units, x)
+        return fused_res_stack(res_units, x, approx_snake=approx_snake)
     for ri, dil in enumerate(DILATIONS):
-        x = residual_unit(res_units[ri], x, dil)
+        x = residual_unit(res_units[ri], x, dil, approx_snake=approx_snake)
     return x
 
 
@@ -70,15 +71,17 @@ def encoder_forward(p: dict, cfg: DACConfig, audio: jnp.ndarray) -> jnp.ndarray:
 
 def decoder_forward(p: dict, cfg: DACConfig, z: jnp.ndarray) -> jnp.ndarray:
     """z: (B, T, 1024) -> audio (B, T*512, 1) in [-1, 1]
-    (reference: autoencoder.py:932-998)."""
+    (reference: autoencoder.py:932-998).  cfg.snake_approx swaps the
+    decoder's snakes for the polynomial sin^2 (conv.py:sin2_poly)."""
+    ap = cfg.snake_approx
     x = causal_conv1d(z, p["conv_in"]["kernel"], p["conv_in"]["bias"])
     for bi, stride in enumerate(cfg.decoder_rates):
         bp = p["blocks"][bi]
-        x = snake(x, bp["snake"])
+        x = snake(x, bp["snake"], approx=ap)
         x = causal_conv_transpose1d(x, bp["up"]["kernel"], bp["up"]["bias"],
                                     stride=stride)
-        x = _res_stack(bp["res_units"], x)
-    x = snake(x, p["snake_out"])
+        x = _res_stack(bp["res_units"], x, approx_snake=ap)
+    x = snake(x, p["snake_out"], approx=ap)
     x = causal_conv1d(x, p["conv_out"]["kernel"], p["conv_out"]["bias"])
     return jnp.tanh(x)
 

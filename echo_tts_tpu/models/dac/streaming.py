@@ -136,12 +136,13 @@ def _convnext_block_s(p: dict, st: dict, x: jnp.ndarray):
     return {"dwconv": st_dw}, inp + p["gamma"] * x
 
 
-def _residual_unit_s(p: dict, st: dict, x: jnp.ndarray, dilation: int):
+def _residual_unit_s(p: dict, st: dict, x: jnp.ndarray, dilation: int,
+                     approx_snake: bool = False):
     """Streaming twin of conv.residual_unit (reference:
     autoencoder.py:879-900); the k1 conv2 is stateless."""
-    y = snake(x, p["snake1"])
+    y = snake(x, p["snake1"], approx=approx_snake)
     st_c1, y = _sconv(st["conv1"], y, p["conv1"], dilation=dilation)
-    y = snake(y, p["snake2"])
+    y = snake(y, p["snake2"], approx=approx_snake)
     y = causal_conv1d(y, p["conv2"]["kernel"], p["conv2"]["bias"])
     return {"conv1": st_c1}, x + y
 
@@ -234,20 +235,22 @@ def decode_zq_block(params: dict, cfg: DACConfig, state: dict,
 
     dp = params["decoder"]
     dst = state["decoder"]
+    ap = cfg.snake_approx  # decoder-side fast snake (conv.py:sin2_poly)
     st_in, x = _sconv(dst["conv_in"], z, dp["conv_in"])
     blk_states = []
     for bi, stride in enumerate(cfg.decoder_rates):
         bp = dp["blocks"][bi]
         bst = dst["blocks"][bi]
-        x = snake(x, bp["snake"])
+        x = snake(x, bp["snake"], approx=ap)
         st_up, x = _sconvt(bst["up"], x, bp["up"], stride=stride)
         res_states = []
         for ri, dil in enumerate(DILATIONS):
             st_r, x = _residual_unit_s(bp["res_units"][ri],
-                                       bst["res"][ri], x, dil)
+                                       bst["res"][ri], x, dil,
+                                       approx_snake=ap)
             res_states.append(st_r)
         blk_states.append({"up": st_up, "res": res_states})
-    x = snake(x, dp["snake_out"])
+    x = snake(x, dp["snake_out"], approx=ap)
     st_out, x = _sconv(dst["conv_out"], x, dp["conv_out"])
     audio = jnp.tanh(x)
 

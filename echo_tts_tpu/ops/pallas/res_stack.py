@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..activations import sin2_poly
 from .joint_attention import LANE, _round_up
 
 # Canonical dilation schedule of the codec's residual units
@@ -57,7 +58,8 @@ def res_stack_eligible(length: int, c: int) -> bool:
 
 
 def _res_stack_kernel(x_ref, halo_ref, a1_ref, w1_ref, b1_ref, a2_ref,
-                      w2_ref, b2_ref, out_ref, *, dilations, halo):
+                      w2_ref, b2_ref, out_ref, *, dilations, halo,
+                      approx_snake=False):
     """One L-tile: run the 3-unit chain on [halo | tile] in VMEM.
 
     Tile i>0's halo holds the true 78 preceding input frames, so every
@@ -73,11 +75,17 @@ def _res_stack_kernel(x_ref, halo_ref, a1_ref, w1_ref, b1_ref, a2_ref,
 
     def snake_f32(v, alpha):
         # Mosaic has no bf16 sin lowering; compute in f32 and cast back
-        # (XLA's bf16 sin upcasts internally too).
+        # (XLA's bf16 sin upcasts internally too).  approx_snake swaps the
+        # sin for the range-reduced polynomial (conv.py:sin2_poly twin;
+        # static flag, resolved at trace time).
         vf = v.astype(jnp.float32)
         af = alpha.astype(jnp.float32)
-        return (vf + (1.0 / (af + 1e-9)) * jnp.square(
-            jnp.sin(af * vf))).astype(v.dtype)
+        z = af * vf
+        if approx_snake:
+            s2 = sin2_poly(z)
+        else:
+            s2 = jnp.square(jnp.sin(z))
+        return (vf + (1.0 / (af + 1e-9)) * s2).astype(v.dtype)
 
     for u, dil in enumerate(dilations):
         y = snake_f32(buf, a1_ref[u])
@@ -105,13 +113,15 @@ def _res_stack_kernel(x_ref, halo_ref, a1_ref, w1_ref, b1_ref, a2_ref,
     out_ref[...] = buf[halo:]
 
 
-@functools.partial(jax.jit, static_argnames=("block_l", "interpret"))
-def _run(x, halo_arr, a1, w1, b1, a2, w2, b2, *, block_l, interpret):
+@functools.partial(jax.jit,
+                   static_argnames=("block_l", "interpret", "approx_snake"))
+def _run(x, halo_arr, a1, w1, b1, a2, w2, b2, *, block_l, interpret,
+         approx_snake=False):
     n_tiles = x.shape[0] // block_l
     c = x.shape[1]
     halo = halo_arr.shape[1]
     kern = functools.partial(_res_stack_kernel, dilations=DILATIONS,
-                             halo=halo)
+                             halo=halo, approx_snake=approx_snake)
     return pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -152,7 +162,8 @@ def _auto_block_l(c_pad: int) -> int:
 
 def fused_res_stack(units: Sequence[dict], x: jnp.ndarray, *,
                     block_l: int | None = None,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False,
+                    approx_snake: bool = False) -> jnp.ndarray:
     """Apply the three dilated residual units to x (B, L, C).
 
     units: the DecoderBlock's `res_units` param list — [{snake1,
@@ -193,7 +204,8 @@ def fused_res_stack(units: Sequence[dict], x: jnp.ndarray, *,
         idx = (jnp.arange(n_tiles) * block_l)[:, None] + jnp.arange(halo)
         halo_arr = xh[idx]  # (n_tiles, halo, C)
         out = _run(xp, halo_arr, a1, w1, b1, a2, w2, b2,
-                   block_l=block_l, interpret=interpret)
+                   block_l=block_l, interpret=interpret,
+                   approx_snake=approx_snake)
         return out[:length, :c]
 
     # Batch loops in python (B is 1 or tiny) — vmap over pallas_call would
