@@ -22,6 +22,17 @@ perf claims are machine-checkable:
   decode_ms    PCA un-whiten + S1-DAC decode (640 latents -> 29.7 s audio)
   p50_short_ms p50 end-to-end latency for a ~10 s utterance (seq 224,
                ROADMAP #5), median of 5
+  ttfa_ms      streaming time-to-first-audio: call -> first block's audio
+               on the host (growing blocks [40, 80, 160, 320, 320, 320],
+               first block ~1.9 s of audio; serve/streaming.py pipelined
+               loop), median of 3
+  streamed_rtf streaming real-time factor over the same 1240-latent
+               (57.6 s) long-form utterance: audio seconds / wall seconds
+               from call to last block on host, median of 3
+  throughput_rtf_b8  batched serving throughput: 8 requests through
+               serve/batcher.run_batch (ONE (3*8)-row CFG-batched sampler
+               + one B=8 decode, shared 640-latent voice latent), nominal
+               generated audio seconds / wall seconds, median of 2
 """
 from __future__ import annotations
 
@@ -75,7 +86,12 @@ def build():
         sample_euler_cfg_independent_guidances)
 
     cfg = base_dit_config(blockwise=False)
-    dac_cfg = base_dac_config()
+    # snake_approx mirrors the serving default on accelerators
+    # (serve/models.py:_serving_dac_config): the polynomial sin^2's 1.6e-6
+    # error is ~100x below the bf16 codec's own rounding, and the decoder
+    # is otherwise bound by the VPU sin (180 -> 114 ms measured).
+    import dataclasses
+    dac_cfg = dataclasses.replace(base_dac_config(), snake_approx=True)
 
     key = jax.random.PRNGKey(0)
     k_dit, k_dac, k_pca = jax.random.split(key, 3)
@@ -141,22 +157,91 @@ def build():
     speaker_mask = jnp.ones((1, SPK_LEN), bool)
     noise = jax.random.normal(ki[3], (1, SEQ, cfg.latent_size), jnp.float32)
 
-    gen = jax.jit(generate, static_argnames=("seq",))
+    # The timed end-to-end program returns ONLY a scalar checksum: the axon
+    # tunnel moves ~70 MB/s device->host, so transferring the 5 MB waveform
+    # inside the timed region would add ~70 ms of tunnel time that the
+    # stage breakdown (also scalar-checksum) excludes, making
+    # prefill+sampler+decode fail to reconcile with the headline.
+    def generate_chk(*a, seq):
+        audio = generate(*a, seq=seq)
+        return jnp.sum(audio.astype(jnp.float32))
+
+    gen = jax.jit(generate_chk, static_argnames=("seq",))
     inputs = dict(text_ids=text_ids, text_mask=text_mask,
                   speaker_latent=speaker_latent, speaker_mask=speaker_mask,
                   rng=ki[2], noise=noise)
+
+    # The streaming stage needs the blockwise sampler, whose latent-prefix
+    # encoder params the blockwise=False build drops
+    # (delete_blockwise_modules, inference.py:28-34) — so the EchoModels
+    # bundle carries a SECOND, blockwise=True parameter set.  The one-shot
+    # stages keep the blockwise=False params so their banked compiles
+    # (pytree-structure-keyed) stay valid.
+    from echo_tts_tpu.pipeline.pipeline import EchoModels
+    cfg_bw = base_dit_config(blockwise=True)
+    params_bw = dit.init_dit_params(jax.random.PRNGKey(4), cfg_bw,
+                                    dtype=jnp.bfloat16)
+    models = EchoModels(params_bw, cfg_bw, dac_params, dac_cfg, pca,
+                        dtype=jnp.bfloat16)
     return (gen, prefill, sampler_only, decode_only, params, dac_params,
-            pca, inputs)
+            pca, inputs, models, sampler_kw)
+
+
+# Streamed-stage block schedule: growing blocks (serve/presets.py:
+# growing_schedule) — a ~1.9 s first block for first audio, then doubling
+# to the per-query-efficient 320s; 1240 latents ≈ 57.6 s of audio, the
+# long-form shape streaming exists for.
+STREAM_BLOCKS = (40, 80, 160, 320, 320, 320)
+STREAM_TEXT = ("The quick brown fox jumps over the lazy dog while the "
+               "orchestra tunes quietly in the hall, and a narrator "
+               "describes the scene in a calm, steady voice for the "
+               "benchmark recording. ") * 3  # ~600 bytes < the 768 bucket
+
+
+def _stream_once(models, inp, sampler_kw):
+    """One pipelined streamed synthesis; returns (ttfa_s, total_s)."""
+    from echo_tts_tpu.serve.streaming import stream_synthesize
+    t0 = time.perf_counter()
+    ttfa = None
+    for chunk in stream_synthesize(
+            models, STREAM_TEXT,
+            speaker_latent=np.asarray(inp["speaker_latent"]),
+            speaker_mask=np.asarray(inp["speaker_mask"]),
+            chunk_sizes=STREAM_BLOCKS, seed=0, sampler_params=sampler_kw):
+        if ttfa is None:
+            ttfa = time.perf_counter() - t0
+    return ttfa, time.perf_counter() - t0
+
+
+BATCH_TEXTS = [
+    "Request number %d reads a different sentence so the batch is not "
+    "degenerate; the narrator keeps an even pace throughout." % i
+    for i in range(8)
+]
+
+
+def _batch_once(models, inp, sampler_kw):
+    """8 requests through the micro-batcher; returns wall seconds."""
+    from echo_tts_tpu.serve.batcher import BatchRequest, run_batch
+    lat = np.asarray(inp["speaker_latent"])
+    reqs = [BatchRequest(text=t, seed=100 + i, speaker_latent=lat)
+            for i, t in enumerate(BATCH_TEXTS)]
+    t0 = time.perf_counter()
+    results = run_batch(models, reqs,
+                        sampler_params=dict(sampler_kw,
+                                            sequence_length=SEQ))
+    assert len(results) == 8
+    return time.perf_counter() - t0
 
 
 def main():
     (gen, prefill, sampler_only, decode_only, params, dac_params, pca,
-     inp) = build()
+     inp, models, sampler_kw) = build()
 
     def full(seq):
         return gen(params, dac_params, pca, inp["text_ids"],
                    inp["text_mask"], inp["speaker_latent"],
-                   inp["speaker_mask"], inp["rng"], seq)
+                   inp["speaker_mask"], inp["rng"], seq=seq)
 
     # compile + warmup
     np.asarray(full(SEQ))
@@ -185,6 +270,26 @@ def main():
     np.asarray(full(SHORT_SEQ))
     p50_short_ms = 1e3 * _timeit(lambda: full(SHORT_SEQ), n=5)
 
+    # Free the one-shot stage arrays before the blockwise/batched stages:
+    # two full DiT parameter sets plus B=8 activations would pressure the
+    # 16 GB HBM (the batch stage OOMed before this was added).
+    del params, kv_static, latents
+
+    # streaming: time-to-first-audio + streamed RTF (pipelined loop,
+    # serve/streaming.py; blockwise sampler + incremental codec decode)
+    _stream_once(models, inp, sampler_kw)          # compile + warmup
+    stream_runs = [_stream_once(models, inp, sampler_kw) for _ in range(3)]
+    ttfa_ms = 1e3 * float(np.median([r[0] for r in stream_runs]))
+    stream_audio_s = sum(STREAM_BLOCKS) * 2048 / 44100.0
+    streamed_rtf = stream_audio_s / float(
+        np.median([r[1] for r in stream_runs]))
+
+    # batched throughput: 8 requests, one (G*8)-row sampler + B=8 decode
+    _batch_once(models, inp, sampler_kw)           # compile + warmup
+    batch_wall = float(np.median([_batch_once(models, inp, sampler_kw)
+                                  for _ in range(2)]))
+    throughput_rtf_b8 = 8 * AUDIO_SECONDS / batch_wall
+
     print(json.dumps({
         "metric": "rtf_audio_sec_per_sec_per_chip",
         "value": round(rtf, 3),
@@ -194,6 +299,9 @@ def main():
         "sampler_ms": round(sampler_ms, 1),
         "decode_ms": round(decode_ms, 1),
         "p50_short_ms": round(p50_short_ms, 1),
+        "ttfa_ms": round(ttfa_ms, 1),
+        "streamed_rtf": round(streamed_rtf, 3),
+        "throughput_rtf_b8": round(throughput_rtf_b8, 3),
     }))
 
 

@@ -15,6 +15,7 @@ was batched or not.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -34,6 +35,10 @@ class BatchRequest:
     text: str
     seed: int
     speaker_audio: Optional[np.ndarray] = None  # (1, samples) float32
+    # Pre-encoded voice (1, T, 80) — a serving voice-latent cache entry;
+    # skips the per-request AE encode.  Mutually exclusive with
+    # speaker_audio.
+    speaker_latent: Optional[np.ndarray] = None
     request_id: Optional[str] = None
 
 
@@ -46,6 +51,18 @@ class BatchResult:
 
 def _group_key(params: Dict) -> Tuple:
     return tuple(sorted(params.items()))
+
+
+@functools.lru_cache(maxsize=8)
+def _draw_noise(cfg, seq_len: int):
+    """Jitted per-seed noise stack: row i == what PRNGKey(seed_i) draws in
+    the single-request path, so batched == single bit-for-bit."""
+    @jax.jit
+    def run(seeds):
+        return jax.vmap(lambda s: jax.random.normal(
+            jax.random.PRNGKey(s), (seq_len, cfg.latent_size),
+            jnp.float32))(seeds)
+    return run
 
 
 def group_compatible(requests: Sequence[Tuple[BatchRequest, Dict]],
@@ -66,12 +83,19 @@ def run_batch(
     requests: Sequence[BatchRequest],
     sampler_params: Optional[Dict] = None,
     speaker_bucket: Optional[int] = None,
+    decode_batch: int = 4,
 ) -> List[BatchResult]:
     """Execute one homogeneous batch (same sampler params for all).
 
     Speaker latents are padded to `speaker_bucket` (default: the max actual
     length in the batch, rounded up to the patch size) so mixed-length
     references batch together; masks carry the true lengths.
+
+    The sampler runs the whole batch in ONE (G*B)-row program (weight
+    reads amortize over B); the codec decode runs in `decode_batch`-sized
+    slices — decode is bandwidth-bound with no weight-reuse win from
+    batching, and its activations are ~250 MB/request at full length, so
+    a full B=8 decode alongside the sampler's KV would pressure HBM.
     """
     if not requests:
         return []
@@ -88,7 +112,14 @@ def run_batch(
     # Speaker latents -> common bucket
     latents, masks = [], []
     for r in requests:
-        if r.speaker_audio is None:
+        if r.speaker_latent is not None:
+            if r.speaker_audio is not None:
+                raise ValueError(
+                    "pass speaker_audio OR speaker_latent, not both")
+            sl = np.asarray(r.speaker_latent, np.float32)
+            latents.append(sl)
+            masks.append(np.ones(sl.shape[:2], bool))
+        elif r.speaker_audio is None:
             latents.append(np.zeros((1, ps, models.dit_cfg.latent_size),
                                     np.float32))
             masks.append(np.zeros((1, ps), bool))
@@ -107,13 +138,12 @@ def run_batch(
         spk_lat[i, :sl.shape[1]] = sl[0]
         spk_mask[i, :sm.shape[1]] = sm[0]
 
-    # Per-request seed semantics: draw exactly the (1, S, 80) array the
-    # single-request sampler would draw for this seed, then stack.
-    noise = np.concatenate([
-        np.asarray(jax.random.normal(
-            jax.random.PRNGKey(r.seed),
-            (1, seq_len, models.dit_cfg.latent_size), jnp.float32))
-        for r in requests], axis=0)
+    # Per-request seed semantics: draw exactly the (S, 80) array the
+    # single-request sampler would draw for each seed — but in ONE device
+    # program (vmap over seeds) with no host round trip: B sequential
+    # np.asarray'd draws cost ~100 ms each over the axon tunnel.
+    noise = _draw_noise(models.dit_cfg, seq_len)(
+        jnp.asarray([r.seed for r in requests], jnp.uint32))
 
     latent_out = sample_euler_cfg_independent_guidances(
         models.dit_params, models.dit_cfg,
@@ -122,7 +152,9 @@ def run_batch(
         sequence_length=seq_len, dtype=models.dtype,
         initial_noise=jnp.asarray(noise), **p)
 
-    audio = np.asarray(ae_decode(models, latent_out))
+    audio = np.concatenate(
+        [np.asarray(ae_decode(models, latent_out[i:i + decode_batch]))
+         for i in range(0, b, decode_batch)], axis=0)
     spl = models.dac_cfg.frame_length
     results = []
     for i, r in enumerate(requests):

@@ -243,7 +243,10 @@ def iter_synthesize_stream(job_input: Dict,
 
     input: {"text", "stream": true, "speaker_voice"?, "seed"?,
             "chunk_size"? in STREAM_CHUNK_SIZES (default 160),
-            "num_chunks"? 1..MAX_STREAM_CHUNKS (default 4), "preset"?,
+            "num_chunks"? 1..MAX_STREAM_CHUNKS (default 4),
+            "chunk_sizes"? explicit per-block schedule (each in
+            STREAM_CHUNK_SIZES; overrides chunk_size/num_chunks — e.g.
+            [80, 160, 160, 160] halves time-to-first-audio), "preset"?,
             "parameters"? (sampler params sans sequence_length),
             "session_id"?}
     The reference has no streaming serving path — this is a framework
@@ -275,6 +278,17 @@ def iter_synthesize_stream(job_input: Dict,
     if not 1 <= num_chunks <= MAX_STREAM_CHUNKS:
         raise ValueError(
             f"num_chunks must be in [1, {MAX_STREAM_CHUNKS}]")
+    chunk_sizes = job_input.get("chunk_sizes")
+    if chunk_sizes is not None:
+        chunk_sizes = [int(c) for c in chunk_sizes]
+        if not chunk_sizes or len(chunk_sizes) > MAX_STREAM_CHUNKS:
+            raise ValueError(
+                f"chunk_sizes must have 1..{MAX_STREAM_CHUNKS} entries")
+        bad = [c for c in chunk_sizes if c not in STREAM_CHUNK_SIZES]
+        if bad:
+            raise ValueError(
+                f"chunk_sizes entries must be in {STREAM_CHUNK_SIZES} "
+                f"(static-shape buckets), got {bad}")
 
     # preset + parameter validation/merge shared with the batch path
     _, params = build_sample_fn(job_input.get("parameters"),
@@ -305,7 +319,8 @@ def iter_synthesize_stream(job_input: Dict,
     pieces = []
     for chunk in stream_synthesize(
             models, text, speaker_audio, chunk_size=chunk_size,
-            num_chunks=num_chunks, seed=int(job_input.get("seed", 0)),
+            num_chunks=num_chunks, chunk_sizes=chunk_sizes,
+            seed=int(job_input.get("seed", 0)),
             sampler_params=params, speaker_bucket=speaker_bucket):
         path = os.path.join(
             out_dir, f"{request_id}_block{chunk.index:03d}.wav")
@@ -448,6 +463,16 @@ def main(argv: Optional[List[str]] = None) -> None:
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+
+    # Multi-host pods: join the jax.distributed cluster BEFORE any backend
+    # use when ECHO_COORD is set (parallel/distributed.py launch recipe);
+    # single-host (the default stance, like the reference's share-nothing
+    # workers) is a no-op.
+    from ..parallel.distributed import initialize_from_env
+    if initialize_from_env():
+        log.info("joined jax.distributed cluster: process %d/%d",
+                 jax.process_index(), jax.process_count())
+
     cfg = load_config()
     for issue in cfg.issues:
         log.warning("config: %s (starting anyway)", issue)

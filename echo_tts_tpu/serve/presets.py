@@ -28,9 +28,39 @@ SPEAKER_BUCKETS = "640, 2816, 6400"
 SEQUENCE_BUCKETS = "160, 320, 480, 640"
 # Streaming-job block sizes (latents) and block-count cap: only these are
 # accepted so the number of compiled (prefix_len, block_size) programs
-# stays bounded (sampler/blockwise.py compiles one program per pair)
-STREAM_CHUNK_SIZES = (80, 160, 320)
+# stays bounded (sampler/blockwise.py compiles one program per pair).
+# 40 exists for time-to-first-audio (a ~1.9 s first block samples in
+# ~170 ms); larger blocks are per-query cheaper (the MXU pads the query
+# rows to 128-row tiles), so a GROWING schedule like (40, 80, 160, 320,
+# 320, ...) is the latency/throughput sweet spot (docs/PERFORMANCE.md §6).
+STREAM_CHUNK_SIZES = (40, 80, 160, 320)
 MAX_STREAM_CHUNKS = 16
+
+
+def growing_schedule(total_latents: int) -> list:
+    """Block schedule for one stream: smallest first for first-audio, then
+    doubling up to 320 (the per-query-efficient size).  total_latents must
+    be expressible as a suffix-sum of STREAM_CHUNK_SIZES steps; remaining
+    length is filled with 320s then topped off with the largest fitting
+    sizes."""
+    out, acc = [], 0
+    for c in STREAM_CHUNK_SIZES:
+        if acc + c > total_latents:
+            break
+        out.append(c)
+        acc += c
+    while acc + 320 <= total_latents:
+        out.append(320)
+        acc += 320
+    for c in reversed(STREAM_CHUNK_SIZES):
+        while acc + c <= total_latents:
+            out.append(c)
+            acc += c
+    if acc != total_latents:
+        raise ValueError(
+            f"total_latents {total_latents} not reachable with chunk sizes "
+            f"{STREAM_CHUNK_SIZES} (got to {acc}); pick a multiple of 40")
+    return out
 
 # Host-side speech-rate heuristic shared with the chunker
 # (reference: handler.py:109 target_chars = duration * 12)

@@ -18,7 +18,7 @@ decoding the continuation region first (its audio is not re-yielded).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -49,19 +49,41 @@ def stream_synthesize(
     *,
     chunk_size: int = 160,       # reference: README.md:95-102
     num_chunks: int = 4,
+    chunk_sizes: Optional[Sequence[int]] = None,
     seed: int = 0,
     sampler_params: Optional[Dict] = None,
     continuation_latent: Optional[np.ndarray] = None,
     speaker_bucket: Optional[int] = None,
+    speaker_latent: Optional[np.ndarray] = None,
+    speaker_mask: Optional[np.ndarray] = None,
 ) -> Iterator[StreamChunk]:
-    """Yield audio block-by-block for one utterance."""
+    """Yield audio block-by-block for one utterance.
+
+    `chunk_sizes` overrides the uniform chunk_size*num_chunks schedule with
+    an explicit per-block size list — e.g. a SMALLER FIRST BLOCK
+    ([80, 160, 160, 160]) cuts time-to-first-audio roughly in half at the
+    cost of one extra compiled block program (sampler/blockwise.py compiles
+    one program per (total_len, block_size) pair).
+
+    The loop is PIPELINED: block i+1's sampler program is dispatched
+    before block i's audio is forced to the host, so the per-block
+    device->host transfer and the host-side dispatch round trip (~50-150 ms
+    on the axon tunnel) overlap device compute instead of idling the chip
+    between blocks."""
     p = dict(SAMPLER_DEFAULTS)
     p.update(sampler_params or {})
     p.pop("sequence_length", None)  # streaming length = blocks * chunk_size
     ps = models.dit_cfg.speaker_patch_size
 
+    if chunk_sizes is None:
+        chunk_sizes = [chunk_size] * num_chunks
+    chunk_sizes = [int(c) for c in chunk_sizes]
+    if not chunk_sizes or min(chunk_sizes) <= 0:
+        raise ValueError(f"chunk_sizes must be non-empty positive, got "
+                         f"{chunk_sizes}")
+
     from ..models.dac.streaming import MAX_POSITIONS
-    total = (chunk_size * num_chunks
+    total = (sum(chunk_sizes)
              + (0 if continuation_latent is None
                 else continuation_latent.shape[1]))
     if total > MAX_POSITIONS:
@@ -73,7 +95,15 @@ def stream_synthesize(
     text_ids, text_mask = get_text_input_ids_and_mask(
         [text], max_length=MAX_TEXT_LENGTH)
 
-    if speaker_audio is None:
+    if speaker_latent is not None:
+        # Pre-encoded voice (a serving voice-latent cache, or the bench):
+        # skip the AE encode entirely.
+        if speaker_audio is not None:
+            raise ValueError(
+                "pass speaker_audio OR speaker_latent, not both")
+        if speaker_mask is None:
+            speaker_mask = np.ones(speaker_latent.shape[:2], bool)
+    elif speaker_audio is None:
         speaker_latent = np.zeros((1, ps, models.dit_cfg.latent_size),
                                   np.float32)
         speaker_mask = np.zeros((1, ps), bool)
@@ -91,7 +121,7 @@ def stream_synthesize(
         models.dit_params, models.dit_cfg,
         jnp.asarray(speaker_latent), jnp.asarray(speaker_mask),
         jnp.asarray(text_ids), jnp.asarray(text_mask),
-        block_sizes=[chunk_size] * num_chunks,
+        block_sizes=chunk_sizes,
         continuation_latent=(None if continuation_latent is None
                              else jnp.asarray(continuation_latent)),
         dtype=models.dtype, rng_key=jax.random.PRNGKey(seed), **p)
@@ -103,11 +133,23 @@ def stream_synthesize(
         _, state = ae_decode_block(models, state,
                                    jnp.asarray(continuation_latent))
 
+    # Pipelined drain: `pending` holds block i's on-device audio while the
+    # generator's next() dispatches block i+1's sampler; only then is
+    # block i forced to the host (np.asarray).  All dispatch is async, so
+    # the device queue stays full: [sampler i] [decode i] [sampler i+1] ...
+    n_blocks = len(chunk_sizes)
+    pending = None
     for idx, (start, block, _prefix) in enumerate(blocks):
         audio, state = ae_decode_block(models, state, block)
-        yield StreamChunk(
+        if pending is not None:
+            pending.audio = np.asarray(pending.audio)
+            yield pending
+        pending = StreamChunk(
             index=idx,
-            audio=np.asarray(audio),
+            audio=audio,           # still on device; forced one block later
             latent_start=start,
-            latent_end=start + chunk_size,
-            is_last=(idx == num_chunks - 1))
+            latent_end=start + chunk_sizes[idx],
+            is_last=(idx == n_blocks - 1))
+    if pending is not None:
+        pending.audio = np.asarray(pending.audio)
+        yield pending

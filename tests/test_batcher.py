@@ -76,6 +76,27 @@ def run_batch_bucket(models, reqs):
     return -(-longest // ps) * ps
 
 
+def test_run_batch_speaker_latent_injection(models):
+    """A pre-encoded voice latent (serving voice cache) must behave exactly
+    like encoding the same audio: inject what get_speaker_latent_and_mask
+    returns for request "b" and compare against the audio-path batch."""
+    from echo_tts_tpu.pipeline.pipeline import get_speaker_latent_and_mask
+    rng = np.random.default_rng(7)
+    spk = np.tanh(rng.standard_normal((1, 400))).astype(np.float32)
+    sl, _ = get_speaker_latent_and_mask(models, spk)
+
+    via_audio = run_batch(models, [
+        BatchRequest("Latent injection.", seed=5, speaker_audio=spk)], FAST)
+    via_latent = run_batch(models, [
+        BatchRequest("Latent injection.", seed=5, speaker_latent=sl)], FAST)
+    np.testing.assert_allclose(via_latent[0].audio, via_audio[0].audio,
+                               atol=2e-4)
+
+    with pytest.raises(ValueError, match="not both"):
+        run_batch(models, [BatchRequest("x", 0, speaker_audio=spk,
+                                        speaker_latent=sl)], FAST)
+
+
 def test_run_batch_bucket_too_small_raises(models):
     rng = np.random.default_rng(1)
     spk = np.tanh(rng.standard_normal((1, 800))).astype(np.float32)

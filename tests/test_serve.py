@@ -152,6 +152,12 @@ def test_synthesize_stream_validation(models, cfg):
     with pytest.raises(ValueError, match="num_chunks must be in"):
         h.synthesize_stream({"text": "x", "chunk_size": 160,
                              "num_chunks": 0}, cfg=cfg, models=models)
+    with pytest.raises(ValueError, match="chunk_sizes entries must be in"):
+        h.synthesize_stream({"text": "x", "chunk_sizes": [160, 7]},
+                            cfg=cfg, models=models)
+    with pytest.raises(ValueError, match="chunk_sizes must have"):
+        h.synthesize_stream({"text": "x", "chunk_sizes": []},
+                            cfg=cfg, models=models)
     # user-controlled path components are sanitized (no traversal/mkdir)
     with pytest.raises(ValueError, match="invalid session_id"):
         h.synthesize_stream({"text": "x", "session_id": "../evil"},

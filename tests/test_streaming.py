@@ -73,6 +73,36 @@ def test_incremental_decode_uneven_blocks(models):
                                atol=1e-5)
 
 
+def test_incremental_decode_bf16_divergence_bounded(models):
+    """In production the codec runs bf16 (handler.py:345,381); streamed and
+    one-shot decodes then differ by reduction order only.  Pin the bound
+    that docs/PERFORMANCE.md §5 states in prose: the divergence stays at
+    bf16-rounding scale, far below audibility."""
+    import jax
+    bf16_params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if hasattr(a, "astype") else a,
+        models.dac_params)
+    cfg = models.dac_cfg
+    rng = np.random.default_rng(12)
+    z_q = jnp.asarray(rng.standard_normal(
+        (1, 12, cfg.latent_dim)).astype(np.float32)).astype(jnp.bfloat16)
+
+    import echo_tts_tpu.models.dac.streaming as strm
+    from echo_tts_tpu.models.dac import dac as jdac
+    full = np.asarray(jdac.decode_zq(bf16_params, cfg, z_q),
+                      dtype=np.float32)
+    state = strm.init_decode_state(cfg, dtype=jnp.bfloat16)
+    parts = []
+    for s in range(0, 12, 4):
+        audio, state = strm.decode_zq_block(bf16_params, cfg, state,
+                                            z_q[:, s:s + 4])
+        parts.append(np.asarray(audio, dtype=np.float32))
+    streamed = np.concatenate(parts, axis=1)
+    assert np.isfinite(streamed).all() and np.isfinite(full).all()
+    # audio is tanh-bounded in [-1, 1]; bf16 has ~2-3 significant digits
+    assert float(np.max(np.abs(streamed - full))) < 0.05
+
+
 def test_incremental_encode_matches_one_shot(models):
     """Chained ae_encode_block must reproduce one-shot ae_encode of the
     concatenated audio (encoder conv tails + window-512/128 rolling KV)."""
@@ -136,6 +166,56 @@ def test_stream_matches_full_decode(models):
         rng_key=jax.random.PRNGKey(9), **FAST)
     full = np.asarray(ae_decode(models, latents))
     np.testing.assert_allclose(streamed, full, atol=1e-5)
+
+
+def test_stream_mixed_chunk_sizes(models):
+    """An explicit chunk_sizes schedule (small first block for TTFA) must
+    produce blocks of those sizes whose concatenation equals the one-shot
+    decode of the same blockwise sample."""
+    chunks = list(stream_synthesize(
+        models, "Schedule check.", chunk_sizes=[4, 8, 4], seed=2,
+        sampler_params=FAST))
+    spl = models.dac_cfg.frame_length
+    assert [(c.latent_start, c.latent_end) for c in chunks] == [
+        (0, 4), (4, 12), (12, 16)]
+    assert [c.audio.shape[-1] for c in chunks] == [
+        4 * spl, 8 * spl, 4 * spl]
+    assert chunks[-1].is_last and not chunks[0].is_last
+
+    from echo_tts_tpu.config import MAX_TEXT_LENGTH
+    from echo_tts_tpu.pipeline.text import get_text_input_ids_and_mask
+    ids, mask = get_text_input_ids_and_mask(["Schedule check."],
+                                            max_length=MAX_TEXT_LENGTH)
+    ps = models.dit_cfg.speaker_patch_size
+    latents = sample_blockwise_euler_cfg_independent_guidances(
+        models.dit_params, models.dit_cfg,
+        jnp.zeros((1, ps, 80)), jnp.zeros((1, ps), bool),
+        jnp.asarray(ids), jnp.asarray(mask),
+        block_sizes=[4, 8, 4], dtype=models.dtype,
+        rng_key=jax.random.PRNGKey(2), **FAST)
+    full = np.asarray(ae_decode(models, latents))
+    streamed = np.concatenate([c.audio for c in chunks], axis=-1)
+    np.testing.assert_allclose(streamed, full, atol=1e-5)
+
+
+def test_stream_speaker_latent_injection(models):
+    """Passing a pre-encoded speaker latent (voice-latent cache) must equal
+    the same stream driven through the internal encode of nothing — i.e.
+    the latent is consumed as-is and shapes/masks line up."""
+    rng = np.random.default_rng(6)
+    ps = models.dit_cfg.speaker_patch_size
+    lat = rng.standard_normal((1, 2 * ps, 80)).astype(np.float32)
+    chunks = list(stream_synthesize(
+        models, "Injected voice.", chunk_size=4, num_chunks=2, seed=3,
+        sampler_params=FAST, speaker_latent=lat))
+    assert len(chunks) == 2
+    for c in chunks:
+        assert np.isfinite(c.audio).all()
+    with pytest.raises(ValueError, match="not both"):
+        next(iter(stream_synthesize(
+            models, "x", speaker_audio=np.zeros((1, 1000), np.float32),
+            speaker_latent=lat, chunk_size=4, num_chunks=1,
+            sampler_params=FAST)))
 
 
 def test_stream_continuation(models):
