@@ -107,6 +107,16 @@ def test_get_delay_and_lengths_parity(models):
     np.testing.assert_array_equal(np.asarray(lens),
                                   np.broadcast_to(ref_lens.numpy(), (2,)))
 
+    # explicit per-item audio_lengths (reference: autoencoder.py:1080-1100)
+    part = np.array([2 * CFG.frame_length + 1, CFG.frame_length])
+    with torch.no_grad():
+        _, ref_lens2 = tdac.encode(torch.tensor(audio)[:, None, :],
+                                   torch.tensor(part))
+    _, lens2 = jdac.encode_with_lengths(params, CFG,
+                                        jnp.asarray(audio)[..., None],
+                                        jnp.asarray(part))
+    np.testing.assert_array_equal(np.asarray(lens2), ref_lens2.numpy())
+
     with torch.no_grad():
         ref_audio, ref_alens = tdac.decode(ref_codes,
                                            torch.tensor([4, 4]))

@@ -45,12 +45,18 @@ def import_ref_inference():
                 mod.hf_hub_download = lambda *a, **k: None
             sys.modules[name] = mod
     if "safetensors.torch" not in sys.modules:
-        st = types.ModuleType("safetensors.torch")
-        st.load_file = lambda *a, **k: {}
-        pkg = types.ModuleType("safetensors")
-        pkg.torch = st
-        sys.modules.setdefault("safetensors", pkg)
-        sys.modules["safetensors.torch"] = st
+        try:
+            # Prefer the REAL package: stubbing it into sys.modules would
+            # break later `safetensors.numpy` imports (it is installed in
+            # this image; the stub is for truly absent environments only).
+            import safetensors.torch  # noqa: F401
+        except ImportError:
+            st = types.ModuleType("safetensors.torch")
+            st.load_file = lambda *a, **k: {}
+            pkg = types.ModuleType("safetensors")
+            pkg.torch = st
+            sys.modules.setdefault("safetensors", pkg)
+            sys.modules["safetensors.torch"] = st
     import inference as ref_inference  # noqa
     return ref_inference
 
