@@ -40,9 +40,78 @@ def test_bucket_selection():
     assert pick_speaker_bucket(9000) == 6400  # above max -> max
 
 
+def test_growing_stream_schedule():
+    from echo_tts_tpu.serve.presets import (STREAM_CHUNK_SIZES,
+                                            growing_schedule)
+    assert growing_schedule(1240) == [40, 80, 160, 320, 320, 320]
+    assert growing_schedule(600) == [40, 80, 160, 320]
+    assert growing_schedule(40) == [40]
+    assert growing_schedule(280) == [40, 80, 160]
+    assert sum(growing_schedule(2000)) == 2000
+    assert set(growing_schedule(2000)) <= set(STREAM_CHUNK_SIZES)
+    with pytest.raises(ValueError, match="not reachable"):
+        growing_schedule(50)
+
+
 def test_demo_preset_tables():
     assert CFG_PRESETS["higher speaker"] == (3.0, 8.0, 0.5, 1.0)
     assert TRUNCATION_PRESETS["flat"] == (0.8, 1.2, 3.0)
+
+
+def test_preset_appliers():
+    """The UI-independent appliers (gradio_app.py:372-483 analogs) resolve
+    names to full field dicts and reject unknowns with None."""
+    from echo_tts_tpu.demo.app import (SAMPLER_PRESET_FIELDS,
+                                       apply_cfg_preset,
+                                       apply_sampler_preset,
+                                       apply_speaker_kv_preset,
+                                       apply_truncation_preset)
+
+    assert apply_cfg_preset("large guidances") == {
+        "cfg_scale_text": 8.0, "cfg_scale_speaker": 8.0,
+        "cfg_min_t": 0.5, "cfg_max_t": 1.0}
+    assert apply_cfg_preset("nope") is None
+
+    assert apply_truncation_preset("sharp") == {
+        "truncation_factor": 0.9, "rescale_k": 0.96, "rescale_sigma": 3.0}
+    assert apply_truncation_preset("custom") is None
+
+    assert apply_speaker_kv_preset("enable") == {"force_speaker": True}
+    assert apply_speaker_kv_preset("off") == {"force_speaker": False}
+    assert apply_speaker_kv_preset("x") is None
+
+    p = apply_sampler_preset("Independent-High-CFG-Flat")
+    assert set(p) == set(SAMPLER_PRESET_FIELDS)
+    assert p["cfg_scale_text"] == 8.0 and p["truncation_factor"] == 0.8
+    assert p["force_speaker"] is False  # no speaker_kv_enable in presets
+    assert apply_sampler_preset("Custom") is None
+
+
+def test_text_presets_and_voice_library(tmp_path):
+    from echo_tts_tpu.demo.app import (list_voice_files, load_text_presets,
+                                       select_text_preset_row)
+
+    rows = load_text_presets()
+    assert rows, "shipped text_presets.txt must parse to rows"
+    assert all(len(r) == 3 for r in rows)
+    assert {r[0] for r in rows} >= {"Narration", "Conversational"}
+    assert select_text_preset_row(0) == rows[0][2]
+    assert select_text_preset_row((1, 2)) == rows[1][2]  # (row, col) events
+    assert select_text_preset_row(10 ** 6) is None
+
+    custom = tmp_path / "presets.txt"
+    custom.write_text("Cat | Hello there\nbare line\n", encoding="utf-8")
+    got = load_text_presets(str(custom))
+    assert got == [["Cat", "2", "Hello there"],
+                   ["Uncategorized", "2", "bare line"]]
+
+    vd = tmp_path / "voices"
+    vd.mkdir()
+    for n in ("b.wav", "a.mp3", "notes.txt", "c.flac"):
+        (vd / n).write_bytes(b"x")
+    assert list_voice_files(str(vd)) == ["a.mp3", "b.wav", "c.flac"]
+    assert list_voice_files(str(vd), query="wav") == ["b.wav"]
+    assert list_voice_files(None) == []
 
 
 def test_demo_generate_and_cleanup(models, tmp_path):
