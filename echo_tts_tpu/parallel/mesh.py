@@ -133,7 +133,27 @@ def to_named(specs, mesh: Mesh):
         is_leaf=lambda x: isinstance(x, P))
 
 
+def _divisible_spec(leaf, spec: P, mesh: Mesh) -> P:
+    """Drop spec axes that do not divide the leaf's dimension evenly.
+
+    device_put refuses uneven NamedShardings (unlike GSPMD's internal
+    padding of intermediates), so e.g. the 10-head text/speaker encoder
+    norms at tp=4 fall back to replication while everything divisible
+    stays sharded — the tp config keeps working instead of crashing on
+    placement."""
+    names = []
+    for i, ax in enumerate(spec):
+        if ax is not None and leaf.shape[i] % mesh.shape[ax] != 0:
+            ax = None
+        names.append(ax)
+    return P(*names)
+
+
 def shard_params(params: dict, mesh: Mesh, blockwise: bool = True) -> dict:
-    """Place a parameter pytree onto the mesh with TP sharding."""
-    shardings = to_named(dit_param_specs(blockwise), mesh)
-    return jax.tree.map(jax.device_put, params, shardings)
+    """Place a parameter pytree onto the mesh with TP sharding; axes that
+    don't divide their mesh axis are replicated (see _divisible_spec)."""
+    specs = dit_param_specs(blockwise)
+    return jax.tree.map(
+        lambda s, leaf: jax.device_put(
+            leaf, NamedSharding(mesh, _divisible_spec(leaf, s, mesh))),
+        specs, params, is_leaf=lambda x: isinstance(x, P))
