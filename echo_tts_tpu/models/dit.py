@@ -277,6 +277,123 @@ def static_attention_mask(
     return jnp.concatenate(parts, axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Incremental latent-prefix encoding (streaming; framework addition)
+#
+# The reference re-encodes the FULL zero-padded prefix buffer every block
+# (inference_blockwise.py:72-73) — O(total^2) encoder work over a stream.
+# The latent encoder is strictly causal (model.py:429-469 with
+# is_causal=True), so patches encoded once never change: these helpers
+# carry per-layer K/V for the patch encoder and a DiT latent-KV buffer,
+# encoding only each block's NEW patches.  Outputs are mathematically
+# identical to get_kv_cache_latent on the real prefix (each query row sees
+# exactly the same visible key set) — pinned in tests/test_blockwise_parity.
+# ---------------------------------------------------------------------------
+
+def init_latent_inc_state(cfg: EchoDiTConfig, batch: int, max_patches: int,
+                          dtype=jnp.bfloat16) -> dict:
+    """Zero state: encoder per-layer K/V buffers + the DiT latent-KV
+    buffer, all preallocated at max_patches (static shapes; columns beyond
+    "pos" are zeros and masked by latent_prefix_mask_dynamic)."""
+    enc_shape = (cfg.speaker_num_layers, batch, max_patches,
+                 cfg.speaker_num_heads, cfg.speaker_head_dim)
+    dit_shape = (cfg.num_layers, batch, max_patches, cfg.num_heads,
+                 cfg.head_dim)
+    return {
+        "enc_k": jnp.zeros(enc_shape, dtype),
+        "enc_v": jnp.zeros(enc_shape, dtype),
+        "lat_k": jnp.zeros(dit_shape, dtype),
+        "lat_v": jnp.zeros(dit_shape, dtype),
+        "pos": jnp.zeros((), jnp.int32),     # patches encoded so far
+    }
+
+
+def latent_kv_append_block(params: dict, cfg: EchoDiTConfig, state: dict,
+                           latent_block: jnp.ndarray) -> dict:
+    """Encode ONE block's latents through the causal patch encoder with
+    carried KV and append the resulting DiT latent-KV columns.
+
+    latent_block: (B, S_block, latent) with S_block % patch_size == 0.
+    Returns the updated state; state["lat_k"/"lat_v"] replace
+    get_kv_cache_latent's output (same RoPE-at-idx*patch_size convention),
+    valid for columns < pos."""
+    p = params["latent_encoder"]
+    b, s, d = latent_block.shape
+    ps = cfg.speaker_patch_size
+    if s % ps != 0:
+        raise ValueError(f"block length {s} must be divisible by "
+                         f"speaker_patch_size {ps}")
+    n_new = s // ps
+    max_patches = state["enc_k"].shape[2]
+    pos = state["pos"]
+    eps = cfg.norm_eps
+    h_enc, dh_enc = cfg.speaker_num_heads, cfg.speaker_head_dim
+
+    x = latent_block.reshape(b, n_new, d * ps)
+    x = (x @ p["in_proj"]["kernel"] + p["in_proj"]["bias"]) / 6.0
+
+    freqs_full = _freqs(dh_enc, max_patches)
+    freqs_new = jax.lax.dynamic_slice_in_dim(freqs_full, pos, n_new, 0)
+    # causal visibility over absolute patch positions: column j is visible
+    # to new-query row i iff j <= pos + i (zeros beyond pos+i are masked)
+    col = jnp.arange(max_patches)[None, :]
+    row = pos + jnp.arange(n_new)[:, None]
+    vis = (col <= row)[None, None]          # (1, 1, n_new, max_patches)
+
+    def body(h, xs):
+        bp, k_cache, v_cache = xs
+        xn = rms_norm(h, bp["attn_norm"], eps)
+        ap = bp["attn"]
+        q = (xn @ ap["wq"]).reshape(b, n_new, h_enc, dh_enc)
+        k = (xn @ ap["wk"]).reshape(b, n_new, h_enc, dh_enc)
+        v = (xn @ ap["wv"]).reshape(b, n_new, h_enc, dh_enc)
+        gate = xn @ ap["gate"]
+        q = rms_norm(q, ap["q_norm"], eps)
+        k = rms_norm(k, ap["k_norm"], eps)
+        q = apply_rotary_emb(q, freqs_new)
+        k = apply_rotary_emb(k, freqs_new)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, pos, 0, 0))
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q,
+                            k_cache.astype(q.dtype),
+                            preferred_element_type=jnp.float32)
+        logits = logits * (1.0 / (dh_enc ** 0.5))  # sdpa's exact scaling
+        logits = jnp.where(vis, logits, -jnp.inf)
+        w = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
+        attn = jnp.einsum("bhnm,bmhd->bnhd", w, v_cache)
+        attn = attn.reshape(b, n_new, -1).astype(h.dtype)
+        h = h + (attn * jax.nn.sigmoid(gate)) @ ap["wo"]
+        h = h + _mlp(bp["mlp"], rms_norm(h, bp["mlp_norm"], eps))
+        return h, (k_cache, v_cache)
+
+    x, (enc_k, enc_v) = jax.lax.scan(
+        body, x, (p["blocks"], state["enc_k"], state["enc_v"]))
+
+    # DiT latent-KV columns for the new patches (get_kv_cache_latent twin)
+    stt = rms_norm(x, params["latent_norm"], cfg.norm_eps)
+    blk = params["blocks"]["attn"]
+    k_new, v_new = _stacked_kv(stt, blk["wk_latent"], blk["wv_latent"],
+                               blk["k_norm"], cfg.norm_eps, cfg.num_heads)
+    # RoPE at absolute idx*patch_size on half the heads, via a stride-ps
+    # table sliced at pos (positions (pos+i)*ps)
+    table = jnp.asarray(
+        _freqs_np(cfg.head_dim, max_patches * ps)[::ps])
+    freqs_lat = jax.lax.dynamic_slice_in_dim(table, pos, n_new, 0)
+    k_new = jax.vmap(
+        lambda kl: apply_rotary_emb_half_heads(kl, freqs_lat))(k_new)
+
+    lat_k = jax.lax.dynamic_update_slice(
+        state["lat_k"], k_new.astype(state["lat_k"].dtype),
+        (0, 0, pos, 0, 0))
+    lat_v = jax.lax.dynamic_update_slice(
+        state["lat_v"], v_new.astype(state["lat_v"].dtype),
+        (0, 0, pos, 0, 0))
+    return {"enc_k": enc_k, "enc_v": enc_v, "lat_k": lat_k,
+            "lat_v": lat_v, "pos": pos + n_new}
+
+
 def latent_prefix_mask_dynamic(batch_size: int, num_latents: int,
                                start_pos,
                                patch_size: int) -> jnp.ndarray:

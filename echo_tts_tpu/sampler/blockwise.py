@@ -51,6 +51,18 @@ def _prefill_core(cfg: EchoDiTConfig, dtype):
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _latent_inc_core(cfg: EchoDiTConfig, dtype):
+    """Jitted incremental latent-prefix append (dit.latent_kv_append_block)
+    — jax.jit re-specializes per (state, block) shape, so one cache entry
+    serves every block size of a stream."""
+    @jax.jit
+    def run(params, state, block):
+        return dit.latent_kv_append_block(params, cfg, state,
+                                          block.astype(dtype))
+    return run
+
+
 @functools.lru_cache(maxsize=256)
 def _block_core(
     cfg: EchoDiTConfig,
@@ -68,26 +80,35 @@ def _block_core(
     speaker_kv_max_layers: Optional[int],
     speaker_kv_min_t: Optional[float],
     dtype,
+    external_latent_kv: bool = False,
 ):
     """Jitted program for one block of a fixed size; the block's start
     position is a TRACED operand (RoPE offsets dynamic-sliced from the
     total_len table, latent mask computed in-graph), so a stream of N
-    same-size blocks compiles ONE program instead of N."""
+    same-size blocks compiles ONE program instead of N.
+
+    external_latent_kv=True takes the latent-prefix KV as inputs (the
+    incrementally-maintained buffer, dit.latent_kv_append_block) instead
+    of re-encoding the full prefix every block."""
     plan = build_step_plan(num_steps, cfg_min_t, cfg_max_t, rescale_k,
                            rescale_sigma, speaker_kv_scale,
                            speaker_kv_min_t)
 
     @jax.jit
     def run(params, prefix, noise, start_pos, kv_text, kv_speaker,
-            text_mask, speaker_mask):
+            text_mask, speaker_mask, *latent_kv):
         batch_size = text_mask.shape[0]
         n_lat = prefix.shape[1] // cfg.speaker_patch_size
 
-        # Per-block latent-prefix re-encode (inference_blockwise.py:72-74);
-        # constant across the block's steps, so it concatenates into the
-        # static KV here, outside the step scans.
-        kv_latent = dit.get_kv_cache_latent(params, cfg,
-                                            prefix.astype(dtype))
+        if external_latent_kv:
+            kv_latent = (latent_kv[0], latent_kv[1])
+        else:
+            # Per-block latent-prefix re-encode
+            # (inference_blockwise.py:72-74); constant across the block's
+            # steps, so it concatenates into the static KV here, outside
+            # the step scans.
+            kv_latent = dit.get_kv_cache_latent(params, cfg,
+                                                prefix.astype(dtype))
         lat_mask = dit.latent_prefix_mask_dynamic(
             batch_size, n_lat, start_pos, cfg.speaker_patch_size)
         kv_static, spk_cols = dit.concat_static_kv(
@@ -137,10 +158,17 @@ def iter_blockwise_euler_cfg_independent_guidances(
     dtype=jnp.bfloat16,
     initial_noises: Optional[List[jnp.ndarray]] = None,
     rng_key: Optional[jax.Array] = None,
+    incremental_latent: bool = False,
 ):
     """Generator over blocks: yields (block_start, block_latents, prefix)
     after each block, where prefix is the full running latent buffer —
-    the streaming serving layer decodes incrementally from these."""
+    the streaming serving layer decodes incrementally from these.
+
+    incremental_latent=True maintains the latent-prefix KV incrementally
+    (encode each block once, O(block) instead of the reference's
+    O(total) full-buffer re-encode per block — dit.latent_kv_append_block);
+    outputs are mathematically identical, pinned in
+    tests/test_blockwise_parity.py."""
     batch_size = text_input_ids.shape[0]
     block_sizes = list(block_sizes)
 
@@ -173,6 +201,26 @@ def iter_blockwise_euler_cfg_independent_guidances(
                None if speaker_kv_min_t is None else float(speaker_kv_min_t),
                dt)
 
+    inc_state = None
+    if incremental_latent:
+        bad = [b for b in ([start_pos] + block_sizes[:-1])
+               if b % cfg.speaker_patch_size != 0]
+        if bad:
+            # A partial patch would be encoded zeros-padded by the
+            # re-encode path but stay zero in the incremental buffer — and
+            # its column IS valid under the position-gated mask.  Fail
+            # loudly instead of diverging silently.
+            raise ValueError(
+                "incremental_latent requires the continuation length and "
+                "every non-final block size to be divisible by "
+                f"speaker_patch_size {cfg.speaker_patch_size}; got {bad}")
+        inc_core = _latent_inc_core(cfg, dt)
+        inc_state = dit.init_latent_inc_state(
+            cfg, batch_size, prefix.shape[1] // cfg.speaker_patch_size, dt)
+        if continuation_latent is not None:
+            inc_state = inc_core(params, inc_state,
+                                 prefix[:, :start_pos])
+
     for b_idx, block_size in enumerate(block_sizes):
         if initial_noises is not None:
             noise = initial_noises[b_idx]
@@ -181,11 +229,17 @@ def iter_blockwise_euler_cfg_independent_guidances(
                 jax.random.fold_in(rng_key, b_idx),
                 (batch_size, block_size, cfg.latent_size), jnp.float32)
 
-        core = _block_core(cfg, prefix.shape[1], block_size, *statics)
+        core = _block_core(cfg, prefix.shape[1], block_size, *statics,
+                           incremental_latent)
+        extra = ((inc_state["lat_k"], inc_state["lat_v"])
+                 if incremental_latent else ())
         x_t, prefix = core(params, prefix, noise,
                            jnp.int32(start_pos), kv_text, kv_speaker,
-                           text_mask, speaker_mask)
+                           text_mask, speaker_mask, *extra)
         yield start_pos, x_t, prefix
+        if incremental_latent and b_idx + 1 < len(block_sizes):
+            # append the just-generated block's patches for later blocks
+            inc_state = inc_core(params, inc_state, x_t)
         start_pos += block_size
 
 

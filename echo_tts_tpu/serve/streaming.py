@@ -33,6 +33,14 @@ from ..pipeline.text import get_text_input_ids_and_mask
 from ..sampler.blockwise import iter_blockwise_euler_cfg_independent_guidances
 
 
+# Stream length (latents) past which the incremental latent-prefix KV
+# (O(block) appends) beats the reference-semantics full re-encode
+# (O(total) per block): ~2 minutes of audio.  Below it the append
+# program's fixed per-block cost loses (measured on a v5e; see
+# docs/PERFORMANCE.md §9).
+INCREMENTAL_LATENT_MIN_TOTAL = 2560
+
+
 @dataclasses.dataclass
 class StreamChunk:
     index: int
@@ -117,6 +125,16 @@ def stream_synthesize(
                                        or MAX_SPEAKER_LATENT_LENGTH),
             pad_to_max=speaker_bucket is not None)
 
+    # Incremental latent-prefix KV is O(block) per block vs the
+    # reference-semantics O(total) re-encode, but its separate append
+    # program carries a fixed per-block cost that measured NET-SLOWER at
+    # bench scale (1240 latents: streamed RTF 18.8 -> 18.2 on a v5e) —
+    # only multi-minute streams, where the quadratic re-encode dominates,
+    # come out ahead.  Engage it past that crossover.
+    use_inc = (total >= INCREMENTAL_LATENT_MIN_TOTAL
+               and all(c % ps == 0 for c in chunk_sizes)
+               and (continuation_latent is None
+                    or continuation_latent.shape[1] % ps == 0))
     blocks = iter_blockwise_euler_cfg_independent_guidances(
         models.dit_params, models.dit_cfg,
         jnp.asarray(speaker_latent), jnp.asarray(speaker_mask),
@@ -124,7 +142,8 @@ def stream_synthesize(
         block_sizes=chunk_sizes,
         continuation_latent=(None if continuation_latent is None
                              else jnp.asarray(continuation_latent)),
-        dtype=models.dtype, rng_key=jax.random.PRNGKey(seed), **p)
+        dtype=models.dtype, rng_key=jax.random.PRNGKey(seed),
+        incremental_latent=use_inc, **p)
 
     state = ae_decode_stream_init(models)
     if continuation_latent is not None:

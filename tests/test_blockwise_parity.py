@@ -134,6 +134,63 @@ def test_one_program_per_block_size(setup, monkeypatch):
     assert cores[0]._cache_size() == 1
 
 
+def test_incremental_latent_kv_matches_full_reencode(setup):
+    """Chained latent_kv_append_block must equal get_kv_cache_latent on
+    the real prefix (valid columns) — the causal encoder's KV never
+    changes once written."""
+    from echo_tts_tpu.models import dit
+
+    _, params, _ = setup
+    rng = np.random.default_rng(21)
+    ps = CFG.speaker_patch_size
+    prefix = rand(rng, 1, 16, CFG.latent_size)
+
+    full_k, full_v = dit.get_kv_cache_latent(params, CFG,
+                                             jnp.asarray(prefix))
+
+    state = dit.init_latent_inc_state(CFG, 1, 16 // ps, jnp.float32)
+    for start, size in ((0, 8), (8, 4), (12, 4)):
+        state = dit.latent_kv_append_block(
+            params, CFG, state, jnp.asarray(prefix[:, start:start + size]))
+    assert int(state["pos"]) == 16 // ps
+    np.testing.assert_allclose(np.asarray(state["lat_k"]),
+                               np.asarray(full_k), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(state["lat_v"]),
+                               np.asarray(full_v), atol=1e-5, rtol=1e-4)
+
+
+def test_blockwise_incremental_latent_matches_reencode(setup):
+    """incremental_latent=True must produce the same latents as the
+    default full-re-encode path (and therefore the torch reference)."""
+    import jax
+
+    _, params, _ = setup
+    rng = np.random.default_rng(23)
+    ids = rng.integers(0, CFG.text_vocab_size, size=(1, 10))
+    tmask = np.ones((1, 10), dtype=bool)
+    spk_latent = rand(rng, 1, 8, CFG.latent_size)
+    smask = np.ones((1, 8), dtype=bool)
+    common = dict(
+        block_sizes=[8, 8, 4], dtype=jnp.float32,
+        rng_key=jax.random.PRNGKey(3), **BASE)
+
+    base = np.asarray(sample_blockwise_euler_cfg_independent_guidances(
+        params, CFG, jnp.asarray(spk_latent), jnp.asarray(smask),
+        jnp.asarray(ids), jnp.asarray(tmask), **common))
+    inc = np.asarray(sample_blockwise_euler_cfg_independent_guidances(
+        params, CFG, jnp.asarray(spk_latent), jnp.asarray(smask),
+        jnp.asarray(ids), jnp.asarray(tmask), incremental_latent=True,
+        **common))
+    np.testing.assert_allclose(inc, base, atol=1e-5, rtol=1e-4)
+
+    with pytest.raises(ValueError, match="divisible by"):
+        list(sample_blockwise_euler_cfg_independent_guidances(
+            params, CFG, jnp.asarray(spk_latent), jnp.asarray(smask),
+            jnp.asarray(ids), jnp.asarray(tmask), incremental_latent=True,
+            block_sizes=[6, 6], dtype=jnp.float32,
+            rng_key=jax.random.PRNGKey(3), **BASE))
+
+
 def test_blockwise_continuation(setup):
     rng = np.random.default_rng(99)
     continuation = rand(rng, 1, 8, CFG.latent_size)
