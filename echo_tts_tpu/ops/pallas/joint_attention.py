@@ -42,8 +42,12 @@ LANE = 128
 # in fp32 while keeping the online-softmax max/alpha arithmetic NaN-free
 # (with -inf, a fully-masked tile would produce exp(-inf - -inf) = NaN).
 MASK_VALUE = -1e30
+# Tuned on a v5e (examples/bench_attention.py sweep, round 3): 256x1024
+# was fastest or tied at every shape that takes the flash path (S >= 1280
+# past the whole-row VMEM budget, and large-GB batches); 256x512 lost
+# ~10-25% at batch.  See docs/PERFORMANCE.md §8 for the table.
 FLASH_BLOCK_Q = 256
-FLASH_BLOCK_KV = 512
+FLASH_BLOCK_KV = 1024
 
 
 def _kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref, scale_ref,

@@ -238,3 +238,18 @@ def test_fits_vmem_guard():
     assert fits_vmem_flash(4096, 100_000, 128)
     # ... but the full-resident (GB, T) fp32 bias bounds batch x KV length
     assert not fits_vmem_flash(4096, 100_000, 128, q_batch=512)
+
+
+def test_auto_dispatch_refuses_shapes_fitting_neither(monkeypatch):
+    """flash=None auto-pick must raise (not silently compile an
+    over-VMEM kernel) when both budget checks fail — e.g. a forced
+    attention_impl='pallas' at very large batch x very long static KV."""
+    import echo_tts_tpu.ops.pallas.joint_attention as ja
+    monkeypatch.setattr(ja, "fits_vmem", lambda *a, **k: False)
+    monkeypatch.setattr(ja, "fits_vmem_flash", lambda *a, **k: False)
+    q = jnp.zeros((3, 8, 2, 16), jnp.float32)
+    kt = jnp.zeros((1, 8, 2, 16), jnp.float32)
+    mask = jnp.ones((3, 8), bool)
+    with pytest.raises(ValueError, match="fits neither"):
+        ja.fused_joint_attention(q, q, q, kt, kt, mask,
+                                 sm_scale=0.25, interpret=True)
