@@ -81,6 +81,7 @@ def _block_core(
     speaker_kv_min_t: Optional[float],
     dtype,
     external_latent_kv: bool = False,
+    first_block: bool = False,
 ):
     """Jitted program for one block of a fixed size; the block's start
     position is a TRACED operand (RoPE offsets dynamic-sliced from the
@@ -89,7 +90,13 @@ def _block_core(
 
     external_latent_kv=True takes the latent-prefix KV as inputs (the
     incrementally-maintained buffer, dit.latent_kv_append_block) instead
-    of re-encoding the full prefix every block."""
+    of re-encoding the full prefix every block.
+
+    first_block=True specializes the stream's first block (no
+    continuation): its latent-prefix columns are ALL masked, so the
+    program drops the latent segment entirely — no prefix encode and no
+    dead KV columns in any of the 40 steps' attention.  Masked columns
+    contribute exactly 0 (exp underflow), so this is the same math."""
     plan = build_step_plan(num_steps, cfg_min_t, cfg_max_t, rescale_k,
                            rescale_sigma, speaker_kv_scale,
                            speaker_kv_min_t)
@@ -100,21 +107,27 @@ def _block_core(
         batch_size = text_mask.shape[0]
         n_lat = prefix.shape[1] // cfg.speaker_patch_size
 
-        if external_latent_kv:
-            kv_latent = (latent_kv[0], latent_kv[1])
+        if first_block:
+            kv_static, spk_cols = dit.concat_static_kv(
+                cfg, kv_text, kv_speaker)
+            mask_cfg, mask_plain = make_cfg_branch_masks(
+                cfg, text_mask, speaker_mask)
         else:
-            # Per-block latent-prefix re-encode
-            # (inference_blockwise.py:72-74); constant across the block's
-            # steps, so it concatenates into the static KV here, outside
-            # the step scans.
-            kv_latent = dit.get_kv_cache_latent(params, cfg,
-                                                prefix.astype(dtype))
-        lat_mask = dit.latent_prefix_mask_dynamic(
-            batch_size, n_lat, start_pos, cfg.speaker_patch_size)
-        kv_static, spk_cols = dit.concat_static_kv(
-            cfg, kv_text, kv_speaker, kv_latent)
-        mask_cfg, mask_plain = make_cfg_branch_masks(
-            cfg, text_mask, speaker_mask, lat_mask)
+            if external_latent_kv:
+                kv_latent = (latent_kv[0], latent_kv[1])
+            else:
+                # Per-block latent-prefix re-encode
+                # (inference_blockwise.py:72-74); constant across the
+                # block's steps, so it concatenates into the static KV
+                # here, outside the step scans.
+                kv_latent = dit.get_kv_cache_latent(params, cfg,
+                                                    prefix.astype(dtype))
+            lat_mask = dit.latent_prefix_mask_dynamic(
+                batch_size, n_lat, start_pos, cfg.speaker_patch_size)
+            kv_static, spk_cols = dit.concat_static_kv(
+                cfg, kv_text, kv_speaker, kv_latent)
+            mask_cfg, mask_plain = make_cfg_branch_masks(
+                cfg, text_mask, speaker_mask, lat_mask)
 
         x_t = noise.astype(jnp.float32)
         if truncation_factor is not None:
@@ -229,10 +242,11 @@ def iter_blockwise_euler_cfg_independent_guidances(
                 jax.random.fold_in(rng_key, b_idx),
                 (batch_size, block_size, cfg.latent_size), jnp.float32)
 
+        first = b_idx == 0 and continuation_latent is None
         core = _block_core(cfg, prefix.shape[1], block_size, *statics,
-                           incremental_latent)
+                           incremental_latent, first)
         extra = ((inc_state["lat_k"], inc_state["lat_v"])
-                 if incremental_latent else ())
+                 if incremental_latent and not first else ())
         x_t, prefix = core(params, prefix, noise,
                            jnp.int32(start_pos), kv_text, kv_speaker,
                            text_mask, speaker_mask, *extra)
