@@ -21,6 +21,10 @@ def main():
     ap.add_argument("--voice", default=None)
     ap.add_argument("--chunk-size", type=int, default=160)
     ap.add_argument("--num-chunks", type=int, default=4)
+    ap.add_argument("--total-latents", type=int, default=None,
+                    help="use the growing schedule (40,80,160,320,...) "
+                    "for this many latents instead of uniform chunks — "
+                    "halves time-to-first-audio")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="stream.wav")
     ap.add_argument("--random-weights", action="store_true")
@@ -34,11 +38,18 @@ def main():
                          allow_random=args.random_weights)
     speaker = audio_io.load_audio(args.voice) if args.voice else None
 
+    chunk_sizes = None
+    if args.total_latents:
+        from echo_tts_tpu.serve.presets import growing_schedule
+        chunk_sizes = growing_schedule(args.total_latents)
+        print(f"schedule: {chunk_sizes}")
+
     pieces = []
     t0 = time.time()
     for chunk in stream_synthesize(
             models, args.text, speaker, chunk_size=args.chunk_size,
-            num_chunks=args.num_chunks, seed=args.seed):
+            num_chunks=args.num_chunks, chunk_sizes=chunk_sizes,
+            seed=args.seed):
         dt = time.time() - t0
         dur = chunk.audio.shape[-1] / 44100
         print(f"block {chunk.index}: +{dur:.1f}s audio at t={dt:.2f}s "
