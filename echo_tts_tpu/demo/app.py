@@ -95,7 +95,13 @@ SAMPLER_PRESET_FIELDS = (
 def apply_sampler_preset(name: str) -> Optional[Dict]:
     """Resolve a named sampler preset (serve/sampler_presets.json — same
     values as the reference's sampler_presets.json) to the full field dict
-    the preset dropdown drives (gradio_app.py:454-483)."""
+    the preset dropdown drives (gradio_app.py:454-483).
+
+    The per-field fallbacks below are the REFERENCE UI's own defaults
+    (gradio_app.py:470-483) — deliberately not config.SAMPLER_DEFAULTS,
+    which is the serving-request default set (e.g. cfg_scale_speaker 8.0
+    vs the UI's 5.0); they only matter for hand-edited preset files
+    missing fields."""
     from ..serve.presets import load_presets
     presets = load_presets()
     if name not in presets:

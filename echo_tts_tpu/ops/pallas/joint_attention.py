@@ -396,7 +396,9 @@ def fused_joint_attention(
 
     if flash is None:
         flash = not fits_vmem(s, t, dh)
-        if flash and not fits_vmem_flash(s, t, dh, gb):
+        if flash and not fits_vmem_flash(s, t, dh, gb,
+                                         block_q=block_q,
+                                         block_kv=block_kv):
             # Neither variant fits: the whole-row (S, T) logits blow VMEM
             # and the flash kernel's un-tiled fp32 (GB, T) bias does too
             # (very large batch x very long static KV).  Auto dispatch in

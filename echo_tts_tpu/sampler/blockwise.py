@@ -55,8 +55,10 @@ def _prefill_core(cfg: EchoDiTConfig, dtype):
 def _latent_inc_core(cfg: EchoDiTConfig, dtype):
     """Jitted incremental latent-prefix append (dit.latent_kv_append_block)
     — jax.jit re-specializes per (state, block) shape, so one cache entry
-    serves every block size of a stream."""
-    @jax.jit
+    serves every block size of a stream.  The state buffers are DONATED:
+    each append's dynamic_update_slice then writes in place instead of
+    copying the full-size KV buffers (hundreds of MB at long streams)."""
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def run(params, state, block):
         return dit.latent_kv_append_block(params, cfg, state,
                                           block.astype(dtype))

@@ -53,15 +53,29 @@ def _group_key(params: Dict) -> Tuple:
     return tuple(sorted(params.items()))
 
 
+def _key_data(seed: int):
+    """PRNGKey's threefry key data computed host-side — handles negative
+    and 64-bit seeds exactly like jax.random.PRNGKey without a device
+    round trip per request (equality pinned in test_batcher).
+
+    With x64 disabled (the default) PRNGKey canonicalizes the seed to 32
+    bits, so the key is [0, seed mod 2^32]; with x64 on it splits the
+    int64 two's-complement value into [hi, lo] words."""
+    v = int(seed) & 0xFFFFFFFFFFFFFFFF
+    if jax.config.jax_enable_x64:
+        return ((v >> 32) & 0xFFFFFFFF, v & 0xFFFFFFFF)
+    return (0, v & 0xFFFFFFFF)
+
+
 @functools.lru_cache(maxsize=8)
 def _draw_noise(cfg, seq_len: int):
     """Jitted per-seed noise stack: row i == what PRNGKey(seed_i) draws in
     the single-request path, so batched == single bit-for-bit."""
     @jax.jit
-    def run(seeds):
-        return jax.vmap(lambda s: jax.random.normal(
-            jax.random.PRNGKey(s), (seq_len, cfg.latent_size),
-            jnp.float32))(seeds)
+    def run(key_data):
+        return jax.vmap(lambda kd: jax.random.normal(
+            jax.random.wrap_key_data(kd), (seq_len, cfg.latent_size),
+            jnp.float32))(key_data)
     return run
 
 
@@ -143,7 +157,8 @@ def run_batch(
     # program (vmap over seeds) with no host round trip: B sequential
     # np.asarray'd draws cost ~100 ms each over the axon tunnel.
     noise = _draw_noise(models.dit_cfg, seq_len)(
-        jnp.asarray([r.seed for r in requests], jnp.uint32))
+        jnp.asarray(np.asarray([_key_data(r.seed) for r in requests],
+                               dtype=np.uint32)))
 
     latent_out = sample_euler_cfg_independent_guidances(
         models.dit_params, models.dit_cfg,

@@ -60,6 +60,13 @@ def growing_schedule(total_latents: int) -> list:
         raise ValueError(
             f"total_latents {total_latents} not reachable with chunk sizes "
             f"{STREAM_CHUNK_SIZES} (got to {acc}); pick a multiple of 40")
+    if len(out) > MAX_STREAM_CHUNKS:
+        raise ValueError(
+            f"{total_latents} latents needs {len(out)} blocks, over the "
+            f"serving cap MAX_STREAM_CHUNKS={MAX_STREAM_CHUNKS} "
+            f"(max {MAX_STREAM_CHUNKS * max(STREAM_CHUNK_SIZES)} latents "
+            "per stream); split the text and resume with "
+            "continuation_latent")
     return out
 
 # Host-side speech-rate heuristic shared with the chunker

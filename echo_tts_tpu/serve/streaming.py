@@ -156,6 +156,10 @@ def stream_synthesize(
     # generator's next() dispatches block i+1's sampler; only then is
     # block i forced to the host (np.asarray).  All dispatch is async, so
     # the device queue stays full: [sampler i] [decode i] [sampler i+1] ...
+    # The FIRST block is forced and yielded eagerly instead: advancing the
+    # generator first would block first audio on block 2's program build
+    # (a synchronous XLA compile on any cold schedule), and the forgone
+    # overlap is only the first (smallest) block's ~ms audio transfer.
     n_blocks = len(chunk_sizes)
     pending = None
     for idx, (start, block, _prefix) in enumerate(blocks):
@@ -169,6 +173,10 @@ def stream_synthesize(
             latent_start=start,
             latent_end=start + chunk_sizes[idx],
             is_last=(idx == n_blocks - 1))
+        if idx == 0:
+            pending.audio = np.asarray(pending.audio)
+            yield pending
+            pending = None
     if pending is not None:
         pending.audio = np.asarray(pending.audio)
         yield pending

@@ -76,6 +76,25 @@ def run_batch_bucket(models, reqs):
     return -(-longest // ps) * ps
 
 
+def test_run_batch_negative_and_64bit_seeds_match_single(models):
+    """PRNGKey accepts negative / 64-bit seeds, so the batched noise path
+    must too (the key data is computed host-side, batcher._key_data)."""
+    for seed in (-1, -(2 ** 40), 2 ** 40 + 17):
+        got = run_batch(models, [BatchRequest("Seed edge.", seed=seed)],
+                        FAST)[0]
+        expect = np.asarray(jax.random.normal(
+            jax.random.PRNGKey(seed), (1, 8, 80), jnp.float32))
+        drawn = np.asarray(_draw_noise_for(models, seed))
+        np.testing.assert_array_equal(drawn, expect[0])
+        assert np.isfinite(got.audio).all()
+
+
+def _draw_noise_for(models, seed):
+    from echo_tts_tpu.serve.batcher import _draw_noise, _key_data
+    kd = jnp.asarray(np.asarray([_key_data(seed)], dtype=np.uint32))
+    return _draw_noise(models.dit_cfg, 8)(kd)[0]
+
+
 def test_run_batch_speaker_latent_injection(models):
     """A pre-encoded voice latent (serving voice cache) must behave exactly
     like encoding the same audio: inject what get_speaker_latent_and_mask

@@ -51,6 +51,9 @@ def test_growing_stream_schedule():
     assert set(growing_schedule(2000)) <= set(STREAM_CHUNK_SIZES)
     with pytest.raises(ValueError, match="not reachable"):
         growing_schedule(50)
+    # schedules past the serving block cap fail loudly, not at the handler
+    with pytest.raises(ValueError, match="MAX_STREAM_CHUNKS"):
+        growing_schedule(16 * 320 + 600)
 
 
 def test_demo_preset_tables():
