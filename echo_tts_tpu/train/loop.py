@@ -45,6 +45,9 @@ def train(
     num_steps: int,
     lr: float = 1e-4,
     weight_decay: float = 0.01,
+    warmup_steps: int = 0,
+    cosine_decay: bool = False,
+    ema_decay: Optional[float] = None,
     dtype=jnp.bfloat16,
     rng: Optional[jax.Array] = None,
     checkpoint_dir: Optional[str] = None,
@@ -52,10 +55,19 @@ def train(
     log_every: int = 50,
     on_step: Optional[Callable[[int, float], None]] = None,
 ) -> TrainState:
-    """Run `num_steps` updates; returns the final TrainState."""
-    tx = make_optimizer(lr=lr, weight_decay=weight_decay)
-    state = create_train_state(params, tx, mesh, cfg.blockwise)
-    step_fn, place_batch = make_train_step(cfg, tx, mesh, dtype=dtype)
+    """Run `num_steps` updates; returns the final TrainState.
+
+    cosine_decay=True uses linear warmup (warmup_steps) + cosine decay
+    over num_steps; ema_decay (e.g. 0.999) maintains EMA weights — the
+    weights diffusion models ship — checkpointed alongside params."""
+    tx = make_optimizer(lr=lr, weight_decay=weight_decay,
+                        warmup_steps=warmup_steps,
+                        total_steps=num_steps if cosine_decay else 0)
+    state = create_train_state(params, tx, mesh, cfg.blockwise,
+                               ema=ema_decay is not None)
+    step_fn, place_batch = make_train_step(
+        cfg, tx, mesh, dtype=dtype,
+        ema_decay=ema_decay if ema_decay is not None else 0.999)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
 
     timer = StageTimer()
@@ -74,6 +86,8 @@ def train(
                      (i + 1) / (time.time() - t0))
         if checkpoint_dir and (i + 1) % checkpoint_every == 0:
             with timer.stage("checkpoint"):
-                save_params(checkpoint_dir, state.params, int(state.step))
+                tree = (state.params if state.ema is None
+                        else {"params": state.params, "ema": state.ema})
+                save_params(checkpoint_dir, tree, int(state.step))
     log.info("training done: %s", timer.report())
     return state

@@ -29,6 +29,10 @@ class TrainState(NamedTuple):
     params: dict
     opt_state: optax.OptState
     step: jnp.ndarray
+    # Exponential moving average of params — the weights diffusion models
+    # actually ship (the published EchoDiT checkpoint is itself an EMA);
+    # None when disabled.
+    ema: dict = None
 
 
 def flow_matching_loss(
@@ -77,7 +81,18 @@ def flow_matching_loss(
 
 
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01,
-                   grad_clip: float = 1.0) -> optax.GradientTransformation:
+                   grad_clip: float = 1.0,
+                   warmup_steps: int = 0,
+                   total_steps: int = 0,
+                   end_lr_ratio: float = 0.1
+                   ) -> optax.GradientTransformation:
+    """AdamW with global-norm clipping; pass warmup_steps/total_steps for
+    the standard linear-warmup + cosine-decay schedule (to
+    lr * end_lr_ratio), else the learning rate is constant."""
+    if total_steps:
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr, warmup_steps=warmup_steps,
+            decay_steps=total_steps, end_value=lr * end_lr_ratio)
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(lr, b1=0.9, b2=0.95, weight_decay=weight_decay),
@@ -85,16 +100,20 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01,
 
 
 def create_train_state(params: dict, tx: optax.GradientTransformation,
-                       mesh: Mesh, blockwise: bool = True) -> TrainState:
+                       mesh: Mesh, blockwise: bool = True,
+                       ema: bool = False) -> TrainState:
     """Place params on the mesh with TP shardings, then init AdamW moments —
-    `zeros_like` on sharded params yields identically-sharded moments."""
+    `zeros_like` on sharded params yields identically-sharded moments.
+    ema=True starts an EMA copy at the initial params (same shardings)."""
     params = pmesh.shard_params(params, mesh, blockwise)
     return TrainState(params=params, opt_state=tx.init(params),
-                      step=jnp.zeros((), jnp.int32))
+                      step=jnp.zeros((), jnp.int32),
+                      ema=jax.tree.map(jnp.copy, params) if ema else None)
 
 
 def make_train_step(cfg: EchoDiTConfig, tx: optax.GradientTransformation,
-                    mesh: Mesh, dtype=jnp.bfloat16):
+                    mesh: Mesh, dtype=jnp.bfloat16,
+                    ema_decay: float = 0.999):
     """Build the jitted sharded train step.
 
     Parameters and Adam moments carry TP shardings (from create_train_state),
@@ -117,7 +136,16 @@ def make_train_step(cfg: EchoDiTConfig, tx: optax.GradientTransformation,
             state.params, cfg, batch, rng, dtype)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        return TrainState(new_params, new_opt, state.step + 1), loss
+        new_ema = state.ema
+        if new_ema is not None:
+            d = jnp.asarray(ema_decay, jnp.float32)
+            new_ema = jax.tree.map(
+                lambda e, p: (d * e.astype(jnp.float32)
+                              + (1.0 - d) * p.astype(jnp.float32)
+                              ).astype(e.dtype),
+                new_ema, new_params)
+        return TrainState(new_params, new_opt, state.step + 1,
+                          new_ema), loss
 
     def place_batch(batch: dict) -> dict:
         return {k: jax.device_put(v, batch_sh[k]) for k, v in batch.items()}

@@ -45,6 +45,44 @@ def test_train_loop_descends_and_checkpoints(tmp_path):
     assert os.path.isdir(tmp_path / "step_00000006")
 
 
+def test_train_loop_ema_and_cosine_schedule(tmp_path):
+    """EMA weights track (but lag) the raw params, and the warmup+cosine
+    schedule starts the LR at ~0 (first update barely moves params)."""
+    cfg = tiny_dit_config(blockwise=False)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    mesh = pmesh.make_mesh(dp=4, tp=2)
+    fixed = _batch(jax.random.PRNGKey(7))
+
+    state = train(
+        cfg, params, itertools.repeat(fixed), mesh,
+        num_steps=4, lr=1e-3, warmup_steps=2, cosine_decay=True,
+        ema_decay=0.5, dtype=jnp.float32, rng=jax.random.PRNGKey(1),
+        checkpoint_dir=str(tmp_path), checkpoint_every=4, log_every=100)
+    assert state.ema is not None
+    w_new = np.asarray(state.params["blocks"]["mlp"]["w1"])
+    w_ema = np.asarray(state.ema["blocks"]["mlp"]["w1"])
+    w_init = np.asarray(params["blocks"]["mlp"]["w1"])
+    d_new = float(np.abs(w_new - w_init).mean())
+    d_ema = float(np.abs(w_ema - w_init).mean())
+    assert d_new > 0 and 0 < d_ema < d_new  # EMA lags the live weights
+    # checkpoint carries both trees
+    import orbax.checkpoint as ocp
+    tree = ocp.PyTreeCheckpointer().restore(
+        str(tmp_path / "step_00000004"))
+    assert set(tree) == {"params", "ema"}
+
+    # warmup from 0: the very first update must be ~no-op vs constant-lr
+    from echo_tts_tpu.train.step import (create_train_state,
+                                         make_optimizer, make_train_step)
+    tx = make_optimizer(lr=1e-3, warmup_steps=10, total_steps=100)
+    st = create_train_state(params, tx, mesh, blockwise=False)
+    step_fn, place = make_train_step(cfg, tx, mesh, dtype=jnp.float32)
+    st2, _ = step_fn(st, place(fixed), jax.random.PRNGKey(9))
+    first_move = float(np.abs(
+        np.asarray(st2.params["blocks"]["mlp"]["w1"]) - w_init).max())
+    assert first_move < 1e-6  # lr starts at 0
+
+
 def test_data_pipeline_feeds_train_step(tiny_models, tmp_path):
     """audio -> ae_encode -> shards -> static-shape batches -> one sharded
     train step; the batch contract end-to-end (train/data.py)."""
