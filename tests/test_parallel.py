@@ -101,6 +101,35 @@ def test_tp_sampler_pallas_shard_map_matches_xla():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_sequence_parallel_speaker_prefill_matches_unsharded():
+    """SP/CP prefill (patch axis sharded over `model`, gathered-KV per
+    layer) must equal dit.get_kv_cache_speaker exactly — each query row
+    sees the same causal key set."""
+    from echo_tts_tpu.models import dit as mdit
+    from echo_tts_tpu.parallel.sp import get_kv_cache_speaker_sp
+
+    models = _models()
+    cfg = models.dit_cfg
+    rng = np.random.default_rng(31)
+    spk = jnp.asarray(rng.standard_normal(
+        (2, 16 * cfg.speaker_patch_size, cfg.latent_size))
+        .astype(np.float32))
+
+    ref_k, ref_v = mdit.get_kv_cache_speaker(models.dit_params, cfg, spk)
+    mesh = pmesh.make_mesh(dp=2, tp=4)
+    got_k, got_v = get_kv_cache_speaker_sp(models.dit_params, cfg, spk,
+                                           mesh)
+    np.testing.assert_allclose(np.asarray(got_k), np.asarray(ref_k),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v),
+                               atol=1e-5, rtol=1e-4)
+
+    with pytest.raises(ValueError, match="must divide"):
+        get_kv_cache_speaker_sp(
+            models.dit_params, cfg,
+            spk[:, :6 * cfg.speaker_patch_size], mesh)
+
+
 def test_sharded_train_step_runs_and_reduces_loss():
     """The full training step compiles + executes on a dp4 x tp2 mesh and
     the loss is finite and reproducible across steps."""
