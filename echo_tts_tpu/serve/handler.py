@@ -445,6 +445,17 @@ def warmup_compile(models: EchoModels,
                     rng_seed=0, pad_to_max_speaker_latent_length=640)
     log.info("warmup compile (speaker bucket 640): %.1fs",
              time.time() - t0)
+    # default streaming schedule: blockwise prefill + first/later block
+    # programs + incremental decode — first audio of the first real stream
+    # then pays no compile either
+    from .streaming import stream_synthesize
+    t0 = time.time()
+    for _ in stream_synthesize(models, "Warmup utterance.", None,
+                               chunk_size=160, num_chunks=4,
+                               sampler_params=parameters):
+        pass
+    log.info("warmup compile (streaming 160x4 default): %.1fs",
+             time.time() - t0)
 
 
 def main(argv: Optional[List[str]] = None) -> None:
