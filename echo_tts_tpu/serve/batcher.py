@@ -167,9 +167,12 @@ def run_batch(
         sequence_length=seq_len, dtype=models.dtype,
         initial_noise=jnp.asarray(noise), **p)
 
-    audio = np.concatenate(
-        [np.asarray(ae_decode(models, latent_out[i:i + decode_batch]))
-         for i in range(0, b, decode_batch)], axis=0)
+    # Dispatch every decode slice before forcing any to the host: slice
+    # i's device->host audio transfer then overlaps slice i+1's decode
+    # compute (dispatch is async; the device queue serializes compute).
+    decoded = [ae_decode(models, latent_out[i:i + decode_batch])
+               for i in range(0, b, decode_batch)]
+    audio = np.concatenate([np.asarray(a) for a in decoded], axis=0)
     spl = models.dac_cfg.frame_length
     results = []
     for i, r in enumerate(requests):
