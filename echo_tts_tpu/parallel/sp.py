@@ -17,6 +17,8 @@ the same causal key set; pinned in tests/test_parallel.py).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -76,6 +78,37 @@ def _sp_patch_encoder(blocks: dict, cfg: EchoDiTConfig, x: jnp.ndarray,
     return x
 
 
+@functools.lru_cache(maxsize=8)
+def _sp_core(cfg: EchoDiTConfig, mesh, axis: str):
+    """lru-cached jit core (the repo's hot-entry-point rule): the 14-layer
+    scan traces once per (config, mesh, shape); eager callers pay one
+    dispatch, not per-op tunnel round trips."""
+
+    @jax.jit
+    def run(params, speaker_latent):
+        b, s, d = speaker_latent.shape
+        ps = cfg.speaker_patch_size
+        n = s // ps
+        p = params["speaker_encoder"]
+        x = speaker_latent.reshape(b, n, d * ps)
+        x = (x @ p["in_proj"]["kernel"] + p["in_proj"]["bias"]) / 6.0
+
+        state = jax.shard_map(
+            lambda blocks, xs: _sp_patch_encoder(blocks, cfg, xs, n, axis),
+            mesh=mesh,
+            in_specs=(P(), P(None, axis, None)),   # weights replicated
+            out_specs=P(None, axis, None),
+        )(p["blocks"], x)
+
+        state = rms_norm(state, params["speaker_norm"], cfg.norm_eps)
+        blk = params["blocks"]["attn"]
+        return _dit._stacked_kv(state, blk["wk_speaker"],
+                                blk["wv_speaker"], blk["k_norm"],
+                                cfg.norm_eps, cfg.num_heads)
+
+    return run
+
+
 def get_kv_cache_speaker_sp(params: dict, cfg: EchoDiTConfig,
                             speaker_latent: jnp.ndarray, mesh,
                             axis: str = "model"):
@@ -85,7 +118,7 @@ def get_kv_cache_speaker_sp(params: dict, cfg: EchoDiTConfig,
 
     The patch count must divide the mesh axis; callers pad the reference
     to a bucket (serve/presets.py) whose patch count does."""
-    b, s, d = speaker_latent.shape
+    s = speaker_latent.shape[1]
     ps = cfg.speaker_patch_size
     if s % ps != 0:
         raise ValueError(f"latent length {s} must be divisible by "
@@ -96,19 +129,4 @@ def get_kv_cache_speaker_sp(params: dict, cfg: EchoDiTConfig,
         raise ValueError(
             f"speaker patch count {n} must divide the '{axis}' axis ({tp})"
             " for sequence-parallel prefill; pad to a bucket that does")
-
-    p = params["speaker_encoder"]
-    x = speaker_latent.reshape(b, n, d * ps)
-    x = (x @ p["in_proj"]["kernel"] + p["in_proj"]["bias"]) / 6.0
-
-    state = jax.shard_map(
-        lambda blocks, xs: _sp_patch_encoder(blocks, cfg, xs, n, axis),
-        mesh=mesh,
-        in_specs=(P(), P(None, axis, None)),   # weights replicated
-        out_specs=P(None, axis, None),
-    )(p["blocks"], x)
-
-    state = rms_norm(state, params["speaker_norm"], cfg.norm_eps)
-    blk = params["blocks"]["attn"]
-    return _dit._stacked_kv(state, blk["wk_speaker"], blk["wv_speaker"],
-                            blk["k_norm"], cfg.norm_eps, cfg.num_heads)
+    return _sp_core(cfg, mesh, axis)(params, speaker_latent)

@@ -446,16 +446,23 @@ def warmup_compile(models: EchoModels,
     log.info("warmup compile (speaker bucket 640): %.1fs",
              time.time() - t0)
     # default streaming schedule: blockwise prefill + first/later block
-    # programs + incremental decode — first audio of the first real stream
-    # then pays no compile either
+    # programs + incremental decode.  Both speaker shapes are warmed —
+    # block programs re-specialize per speaker-KV width, so the voiceless
+    # pass alone would leave the dominant voiced (640-latent bucket) case
+    # to compile at the first real stream's first-audio time.
     from .streaming import stream_synthesize
-    t0 = time.time()
-    for _ in stream_synthesize(models, "Warmup utterance.", None,
-                               chunk_size=160, num_chunks=4,
-                               sampler_params=parameters):
-        pass
-    log.info("warmup compile (streaming 160x4 default): %.1fs",
-             time.time() - t0)
+    for label, spk_latent in (
+            ("no voice", None),
+            ("speaker bucket 640",
+             np.zeros((1, 640, models.dit_cfg.latent_size), np.float32))):
+        t0 = time.time()
+        for _ in stream_synthesize(models, "Warmup utterance.", None,
+                                   chunk_size=160, num_chunks=4,
+                                   speaker_latent=spk_latent,
+                                   sampler_params=parameters):
+            pass
+        log.info("warmup compile (streaming 160x4, %s): %.1fs",
+                 label, time.time() - t0)
 
 
 def main(argv: Optional[List[str]] = None) -> None:

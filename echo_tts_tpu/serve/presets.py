@@ -61,12 +61,16 @@ def growing_schedule(total_latents: int) -> list:
             f"total_latents {total_latents} not reachable with chunk sizes "
             f"{STREAM_CHUNK_SIZES} (got to {acc}); pick a multiple of 40")
     if len(out) > MAX_STREAM_CHUNKS:
+        # the growing ramp means 16 blocks reach 40+80+160 + 13*320, not
+        # 16*320 — report the ACTUAL maximum so a retry can succeed
+        biggest = max(STREAM_CHUNK_SIZES)
+        ramp = [c for c in STREAM_CHUNK_SIZES if c != biggest]
+        max_total = sum(ramp) + (MAX_STREAM_CHUNKS - len(ramp)) * biggest
         raise ValueError(
             f"{total_latents} latents needs {len(out)} blocks, over the "
             f"serving cap MAX_STREAM_CHUNKS={MAX_STREAM_CHUNKS} "
-            f"(max {MAX_STREAM_CHUNKS * max(STREAM_CHUNK_SIZES)} latents "
-            "per stream); split the text and resume with "
-            "continuation_latent")
+            f"(max {max_total} latents per growing-schedule stream); "
+            "split the text and resume with continuation_latent")
     return out
 
 # Host-side speech-rate heuristic shared with the chunker

@@ -89,6 +89,10 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01,
     """AdamW with global-norm clipping; pass warmup_steps/total_steps for
     the standard linear-warmup + cosine-decay schedule (to
     lr * end_lr_ratio), else the learning rate is constant."""
+    if warmup_steps and not total_steps:
+        raise ValueError(
+            "warmup_steps requires total_steps (the cosine-decay horizon);"
+            " without it the warmup would be silently ignored")
     if total_steps:
         lr = optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=lr, warmup_steps=warmup_steps,
