@@ -12,9 +12,12 @@ import jax
 print("[bootstrap] devices:", jax.devices())
 PY
 
-# Pre-load models + compile the default bucket before taking traffic
+# Pre-load models + compile every default request shape (batch no-voice,
+# speaker-bucket-640, and the default streaming schedule in both speaker
+# shapes) before taking traffic; with JAX_COMPILATION_CACHE_DIR on the
+# volume only the first-ever boot pays the compiles.
 # (reference: handler.py --warmup, :822-849)
-python -m echo_tts_tpu.serve.handler --warmup || \
+python -m echo_tts_tpu.serve.handler --warmup-compile || \
     echo "[bootstrap] warmup failed; starting anyway"
 
 exec python -m echo_tts_tpu.serve.handler
