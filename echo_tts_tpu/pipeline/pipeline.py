@@ -251,9 +251,15 @@ def sample_pipeline(
     pad_to_max_speaker_latent_length: Optional[int] = None,
     pad_to_max_text_length: Optional[int] = None,
     normalize_text: bool = True,
+    speaker_latent: Optional[np.ndarray] = None,
+    speaker_mask: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, str]:
     """Single-chunk text -> audio (reference: inference.py:308-347).
-    Returns ((1, samples) float32, normalized_text)."""
+    Returns ((1, samples) float32, normalized_text).
+
+    A pre-encoded (speaker_latent, speaker_mask) pair skips the AE encode
+    — callers synthesizing many chunks of one request encode the voice
+    ONCE instead of per chunk (serve/handler.py)."""
     # Text is always padded to the (bucketed) max length — the reference's
     # pad_to_max=False branch is a no-op slice (inference.py:206-207), so
     # sample_pipeline always runs 768-wide text; that is also exactly the
@@ -264,7 +270,13 @@ def sample_pipeline(
                        MAX_TEXT_LENGTH),
         normalize=normalize_text, return_normalized_text=True)
 
-    if speaker_audio is None:
+    if speaker_latent is not None:
+        if speaker_audio is not None:
+            raise ValueError(
+                "pass speaker_audio OR speaker_latent, not both")
+        if speaker_mask is None:
+            speaker_mask = np.ones(speaker_latent.shape[:2], bool)
+    elif speaker_audio is None:
         n = pad_to_max_speaker_latent_length or 4
         speaker_latent = np.zeros((1, n, models.dit_cfg.latent_size),
                                   dtype=np.float32)

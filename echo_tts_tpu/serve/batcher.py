@@ -37,8 +37,10 @@ class BatchRequest:
     speaker_audio: Optional[np.ndarray] = None  # (1, samples) float32
     # Pre-encoded voice (1, T, 80) — a serving voice-latent cache entry;
     # skips the per-request AE encode.  Mutually exclusive with
-    # speaker_audio.
+    # speaker_audio.  speaker_mask (1, T) carries the true length when the
+    # latent is bucket-padded; defaults to all-True.
     speaker_latent: Optional[np.ndarray] = None
+    speaker_mask: Optional[np.ndarray] = None
     request_id: Optional[str] = None
 
 
@@ -132,7 +134,9 @@ def run_batch(
                     "pass speaker_audio OR speaker_latent, not both")
             sl = np.asarray(r.speaker_latent, np.float32)
             latents.append(sl)
-            masks.append(np.ones(sl.shape[:2], bool))
+            masks.append(np.ones(sl.shape[:2], bool)
+                         if r.speaker_mask is None
+                         else np.asarray(r.speaker_mask, bool))
         elif r.speaker_audio is None:
             latents.append(np.zeros((1, ps, models.dit_cfg.latent_size),
                                     np.float32))

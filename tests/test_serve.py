@@ -119,6 +119,31 @@ def test_synthesize_stream_with_voice_buckets(models, cfg, monkeypatch):
     assert len(picked) == 1  # bucketing engaged
 
 
+def test_chunked_request_batched_matches_sequential(models, cfg, tmp_path):
+    """Multi-chunk requests default to batched sampler passes with a
+    single voice encode; audio must match the sequential per-chunk path
+    (same per-chunk seeds/noise) to float tolerance."""
+    import shutil
+    fixture = os.path.join(os.path.dirname(__file__), "data", "voice.wav")
+    shutil.copy(fixture, os.path.join(cfg.voices_dir, "v.wav"))
+    text = ("First sentence of a long passage. " * 3
+            + "\n\n" + "Second paragraph follows here. " * 3)
+    base = {"text": text, "parameters": _fast_params(), "seed": 7,
+            "speaker_voice": "v.wav", "max_chars_per_chunk": 80,
+            "boundary_mode": "none"}
+
+    out_b = h.synthesize(dict(base), cfg=cfg, models=models)
+    out_s = h.synthesize(dict(base, batch_chunks=False), cfg=cfg,
+                         models=models)
+    assert out_b["metadata"]["num_chunks"] > 1
+    assert (out_b["metadata"]["num_chunks"]
+            == out_s["metadata"]["num_chunks"])
+    a_b, _ = audio_io.read_wav(out_b["local_path"])
+    a_s, _ = audio_io.read_wav(out_s["local_path"])
+    assert a_b.shape == a_s.shape
+    np.testing.assert_allclose(a_b, a_s, atol=3e-4)
+
+
 def test_handler_generator_error_envelope(monkeypatch, cfg):
     monkeypatch.setattr(h, "load_config", lambda *a, **k: cfg)
     events = list(h.handler_generator(
@@ -186,21 +211,40 @@ def test_storage_sanitizes_components(cfg):
 
 
 def test_synthesize_chunk_seed_progression(models, cfg, monkeypatch):
-    """Per-chunk seeds advance seed + idx*1000 (reference: handler.py:749)."""
+    """Per-chunk seeds advance seed + idx*1000 (reference: handler.py:749)
+    on BOTH the batched (default) and sequential chunk paths."""
+    long_text = "One sentence here. " * 10
+    job = {"text": long_text, "parameters": _fast_params(), "seed": 7,
+           "max_chars_per_chunk": 60, "boundary_mode": "crossfade"}
+
+    # batched path: spy the BatchRequest seeds
+    import echo_tts_tpu.serve.batcher as batcher_mod
+    batched_seeds = []
+    real_rb = batcher_mod.run_batch
+
+    def spy_rb(models_, reqs, *a, **kw):
+        batched_seeds.extend(r.seed for r in reqs)
+        return real_rb(models_, reqs, *a, **kw)
+
+    monkeypatch.setattr(h, "run_batch", spy_rb, raising=False)
+    monkeypatch.setattr(batcher_mod, "run_batch", spy_rb)
+    out = h.synthesize(dict(job), cfg=cfg, models=models)
+    assert out["status"] == "success"
+    assert len(batched_seeds) >= 2
+    assert batched_seeds == [7 + i * 1000
+                             for i in range(len(batched_seeds))]
+
+    # sequential path: spy sample_pipeline
     seeds = []
-    hmod = h
-    real = hmod.sample_pipeline
+    real = h.sample_pipeline
 
     def spy(models_, fn, chunk, spk, rng_seed, **kw):
         seeds.append(rng_seed)
         return real(models_, fn, chunk, spk, rng_seed, **kw)
 
-    monkeypatch.setattr(hmod, "sample_pipeline", spy)
-    long_text = "One sentence here. " * 10
-    out = h.synthesize(
-        {"text": long_text, "parameters": _fast_params(), "seed": 7,
-         "max_chars_per_chunk": 60, "boundary_mode": "crossfade"},
-        cfg=cfg, models=models)
+    monkeypatch.setattr(h, "sample_pipeline", spy)
+    out = h.synthesize(dict(job, batch_chunks=False), cfg=cfg,
+                       models=models)
     assert out["status"] == "success"
     assert len(seeds) >= 2
     assert seeds == [7 + i * 1000 for i in range(len(seeds))]
