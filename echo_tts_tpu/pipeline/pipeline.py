@@ -259,7 +259,10 @@ def sample_pipeline(
 
     A pre-encoded (speaker_latent, speaker_mask) pair skips the AE encode
     — callers synthesizing many chunks of one request encode the voice
-    ONCE instead of per chunk (serve/handler.py)."""
+    ONCE instead of per chunk (serve/handler.py).  If the latent is
+    BUCKET-PADDED, speaker_mask is REQUIRED to carry the true length:
+    the all-True default would attend encoded-zero padding as reference
+    speech and silently degrade cloning."""
     # Text is always padded to the (bucketed) max length — the reference's
     # pad_to_max=False branch is a no-op slice (inference.py:206-207), so
     # sample_pipeline always runs 768-wide text; that is also exactly the

@@ -49,7 +49,6 @@ log = logging.getLogger("echo_tts_tpu.serve")
 MAX_TEXT_CHARS = 4000       # reference: handler.py:690-698
 SAMPLE_RATE = 44100
 SEED_STRIDE = 1000          # reference: handler.py:749
-MAX_CHUNK_BATCH = 8         # chunks per batched sampler pass (HBM-bounded)
 
 
 def build_sample_fn(parameters: Optional[Dict] = None,
@@ -188,51 +187,35 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
                 max_speaker_latent_length=speaker_bucket,
                 pad_to_max=True)
 
-    # Multi-chunk requests run as BATCHED sampler passes (one (G*B)-row
-    # program per group of MAX_CHUNK_BATCH chunks) — same audio as the
-    # sequential path to float tolerance (per-chunk seeds and noise are
-    # preserved exactly; pinned in tests), at batched-throughput cost.
-    # auto_seq varies sequence_length per chunk, so it stays sequential.
-    batch_chunks = (bool(job_input.get("batch_chunks", True))
-                    and len(chunks) > 1 and not auto_seq)
-
+    # Chunks run SEQUENTIALLY through the warm B=1 sampler program (the
+    # repo's static-shape discipline: one compiled shape per bucket).
+    # Batching a request's chunks was tried and reverted: the B=1 sampler
+    # is already ~94% MFU, so grouped passes bought ~nothing while every
+    # distinct chunk count compiled a fresh full-size program and large
+    # speaker buckets multiplied HBM footprint.  The durable win — the
+    # voice encoded ONCE above instead of per chunk — is kept.
     audio_chunks: List[np.ndarray] = []
-    if batch_chunks:
-        from .batcher import BatchRequest, run_batch
-        reqs = [BatchRequest(text=c, seed=seed + i * SEED_STRIDE,
-                             speaker_latent=spk_latent,
-                             speaker_mask=spk_mask)
-                for i, c in enumerate(chunks)]
+    for idx, chunk in enumerate(chunks):
+        chunk_fn = sample_fn
+        if auto_seq:
+            from .presets import pick_sequence_bucket
+            bucket = pick_sequence_bucket(
+                chunk, sample_params["sequence_length"])
+            chunk_fn, _ = build_sample_fn(
+                {**(job_input.get("parameters") or {}),
+                 "sequence_length": bucket},
+                preset=job_input.get("preset"))
         with timer.stage("synthesis"):
-            for j in range(0, len(reqs), MAX_CHUNK_BATCH):
-                for r in run_batch(models, reqs[j:j + MAX_CHUNK_BATCH],
-                                   sample_params):
-                    audio_chunks.append(r.audio)
-                log.info("[%s] chunks %d-%d/%d done (batched)", request_id,
-                         j + 1, min(j + MAX_CHUNK_BATCH, len(reqs)),
-                         len(reqs))
-    else:
-        for idx, chunk in enumerate(chunks):
-            chunk_fn = sample_fn
-            if auto_seq:
-                from .presets import pick_sequence_bucket
-                bucket = pick_sequence_bucket(
-                    chunk, sample_params["sequence_length"])
-                chunk_fn, _ = build_sample_fn(
-                    {**(job_input.get("parameters") or {}),
-                     "sequence_length": bucket},
-                    preset=job_input.get("preset"))
-            with timer.stage("synthesis"):
-                chunk_audio, _ = sample_pipeline(
-                    models, chunk_fn, chunk, None,
-                    rng_seed=seed + idx * SEED_STRIDE,
-                    speaker_latent=spk_latent, speaker_mask=spk_mask,
-                    pad_to_max_speaker_latent_length=(
-                        None if spk_latent is not None else speaker_bucket))
-            audio_chunks.append(np.asarray(chunk_audio))
-            log.info("[%s] chunk %d/%d done (%.1fs audio)", request_id,
-                     idx + 1, len(chunks),
-                     chunk_audio.shape[-1] / SAMPLE_RATE)
+            chunk_audio, _ = sample_pipeline(
+                models, chunk_fn, chunk, None,
+                rng_seed=seed + idx * SEED_STRIDE,
+                speaker_latent=spk_latent, speaker_mask=spk_mask,
+                pad_to_max_speaker_latent_length=(
+                    None if spk_latent is not None else speaker_bucket))
+        audio_chunks.append(np.asarray(chunk_audio))
+        log.info("[%s] chunk %d/%d done (%.1fs audio)", request_id,
+                 idx + 1, len(chunks),
+                 chunk_audio.shape[-1] / SAMPLE_RATE)
 
     with timer.stage("host_dsp"):
         if len(audio_chunks) == 1 or boundary_mode == "none":

@@ -119,11 +119,14 @@ def test_synthesize_stream_with_voice_buckets(models, cfg, monkeypatch):
     assert len(picked) == 1  # bucketing engaged
 
 
-def test_chunked_request_batched_matches_sequential(models, cfg, tmp_path):
-    """Multi-chunk requests default to batched sampler passes with a
-    single voice encode; audio must match the sequential per-chunk path
-    (same per-chunk seeds/noise) to float tolerance."""
+def test_chunked_request_encodes_voice_once(models, cfg, monkeypatch):
+    """A multi-chunk voiced request must AE-encode the speaker reference
+    exactly once (it was re-encoded per chunk before), and the injected
+    latent must produce the same audio as the per-chunk encode path."""
     import shutil
+
+    import echo_tts_tpu.pipeline.pipeline as pl
+
     fixture = os.path.join(os.path.dirname(__file__), "data", "voice.wav")
     shutil.copy(fixture, os.path.join(cfg.voices_dir, "v.wav"))
     text = ("First sentence of a long passage. " * 3
@@ -132,16 +135,44 @@ def test_chunked_request_batched_matches_sequential(models, cfg, tmp_path):
             "speaker_voice": "v.wav", "max_chars_per_chunk": 80,
             "boundary_mode": "none"}
 
-    out_b = h.synthesize(dict(base), cfg=cfg, models=models)
-    out_s = h.synthesize(dict(base, batch_chunks=False), cfg=cfg,
-                         models=models)
-    assert out_b["metadata"]["num_chunks"] > 1
-    assert (out_b["metadata"]["num_chunks"]
-            == out_s["metadata"]["num_chunks"])
-    a_b, _ = audio_io.read_wav(out_b["local_path"])
-    a_s, _ = audio_io.read_wav(out_s["local_path"])
-    assert a_b.shape == a_s.shape
-    np.testing.assert_allclose(a_b, a_s, atol=3e-4)
+    calls = []
+    real = pl.get_speaker_latent_and_mask
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pl, "get_speaker_latent_and_mask", spy)
+    monkeypatch.setattr(h, "get_speaker_latent_and_mask", spy,
+                        raising=False)
+    out = h.synthesize(dict(base), cfg=cfg, models=models)
+    assert out["status"] == "success"
+    assert out["metadata"]["num_chunks"] > 1
+    assert len(calls) == 1  # one encode for the whole request
+
+    # equality vs the old per-chunk re-encode: drive sample_pipeline with
+    # speaker_audio directly for chunk 0 and compare
+    from echo_tts_tpu.pipeline import audio_io as aio
+    from echo_tts_tpu.pipeline.text import chunk_text_for_audio
+    speaker_audio = aio.load_audio(
+        os.path.join(cfg.voices_dir, "v.wav"))
+    chunks = chunk_text_for_audio(text, max_chars=80,
+                                  target_duration_seconds=10.0)
+    fn, _ = h.build_sample_fn(_fast_params())
+    from echo_tts_tpu.serve.presets import pick_speaker_bucket
+    n_lat = speaker_audio.shape[-1] // h.models_frame_length(models)
+    bucket = pick_speaker_bucket(n_lat)
+    ref0, _ = real(models, speaker_audio,
+                   max_speaker_latent_length=bucket, pad_to_max=True)
+    direct, _ = pl.sample_pipeline(
+        models, fn, chunks[0], speaker_audio, rng_seed=7,
+        pad_to_max_speaker_latent_length=bucket)
+    via_latent, _ = pl.sample_pipeline(
+        models, fn, chunks[0], None, rng_seed=7, speaker_latent=ref0,
+        speaker_mask=np.asarray(real(models, speaker_audio,
+                                     max_speaker_latent_length=bucket,
+                                     pad_to_max=True)[1]))
+    np.testing.assert_allclose(via_latent, direct, atol=2e-5)
 
 
 def test_handler_generator_error_envelope(monkeypatch, cfg):
@@ -211,30 +242,7 @@ def test_storage_sanitizes_components(cfg):
 
 
 def test_synthesize_chunk_seed_progression(models, cfg, monkeypatch):
-    """Per-chunk seeds advance seed + idx*1000 (reference: handler.py:749)
-    on BOTH the batched (default) and sequential chunk paths."""
-    long_text = "One sentence here. " * 10
-    job = {"text": long_text, "parameters": _fast_params(), "seed": 7,
-           "max_chars_per_chunk": 60, "boundary_mode": "crossfade"}
-
-    # batched path: spy the BatchRequest seeds
-    import echo_tts_tpu.serve.batcher as batcher_mod
-    batched_seeds = []
-    real_rb = batcher_mod.run_batch
-
-    def spy_rb(models_, reqs, *a, **kw):
-        batched_seeds.extend(r.seed for r in reqs)
-        return real_rb(models_, reqs, *a, **kw)
-
-    monkeypatch.setattr(h, "run_batch", spy_rb, raising=False)
-    monkeypatch.setattr(batcher_mod, "run_batch", spy_rb)
-    out = h.synthesize(dict(job), cfg=cfg, models=models)
-    assert out["status"] == "success"
-    assert len(batched_seeds) >= 2
-    assert batched_seeds == [7 + i * 1000
-                             for i in range(len(batched_seeds))]
-
-    # sequential path: spy sample_pipeline
+    """Per-chunk seeds advance seed + idx*1000 (reference: handler.py:749)."""
     seeds = []
     real = h.sample_pipeline
 
@@ -243,8 +251,11 @@ def test_synthesize_chunk_seed_progression(models, cfg, monkeypatch):
         return real(models_, fn, chunk, spk, rng_seed, **kw)
 
     monkeypatch.setattr(h, "sample_pipeline", spy)
-    out = h.synthesize(dict(job, batch_chunks=False), cfg=cfg,
-                       models=models)
+    long_text = "One sentence here. " * 10
+    out = h.synthesize(
+        {"text": long_text, "parameters": _fast_params(), "seed": 7,
+         "max_chars_per_chunk": 60, "boundary_mode": "crossfade"},
+        cfg=cfg, models=models)
     assert out["status"] == "success"
     assert len(seeds) >= 2
     assert seeds == [7 + i * 1000 for i in range(len(seeds))]
