@@ -11,6 +11,13 @@ batched sampler+decode pass, and resolves the futures.
 One executor thread == one device stream; JAX dispatch itself is
 thread-safe but serializing device work through one loop keeps HBM
 footprint bounded and batches maximal.
+
+Honest economics on this model (docs/PERFORMANCE.md §7): the B=1
+sampler already runs ~94% MFU, so batching is roughly THROUGHPUT-NEUTRAL
+on-chip — its value here is bounded HBM, per-dispatch amortization, and
+fairness under concurrency, not a large audio-sec/sec multiplier.  Each
+distinct batch size B compiles its own full-size program; keep max_batch
+at one value (and warm it) rather than letting B float across requests.
 """
 from __future__ import annotations
 
