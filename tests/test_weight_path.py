@@ -122,6 +122,45 @@ def test_load_models_from_dir_matches_in_memory_conversion(
     assert float(bundle.pca["latent_scale"]) == pytest.approx(PCA_SCALE)
 
 
+def test_hub_loader_with_mocked_downloads(model_dir, monkeypatch):
+    """tools/hub.load_models_from_hf (reference: inference.py:14-47,
+    56-76, 92-99) drilled offline: hf_hub_download is mocked to return
+    the reference-format files on disk; the resulting bundle must be
+    bit-identical to serve.models' disk loader."""
+    import echo_tts_tpu.tools.hub as hub
+
+    d, tdit = model_dir
+    files = {
+        (hub.DIT_REPO, hub.DIT_FILE): os.path.join(d, models_mod.DIT_WEIGHTS),
+        (hub.DAC_REPO, hub.DAC_FILE): os.path.join(d, models_mod.DAC_WEIGHTS),
+        (hub.DIT_REPO, hub.PCA_FILE): os.path.join(d, models_mod.PCA_WEIGHTS),
+    }
+    monkeypatch.setattr(hub, "_download",
+                        lambda repo, fn, token: files[(repo, fn)])
+    monkeypatch.setattr(
+        hub, "base_dit_config",
+        lambda blockwise=True: dataclasses.replace(STRUCT_DIT,
+                                                   blockwise=blockwise))
+    monkeypatch.setattr(hub, "base_dac_config", lambda: STRUCT_DAC)
+
+    bundle = hub.load_models_from_hf(token=None, dtype=jnp.float32)
+    assert bundle.dit_cfg == dataclasses.replace(STRUCT_DIT, blockwise=True)
+
+    expect = jax_params_from_torch(tdit, STRUCT_DIT)
+    got = dict(jax.tree_util.tree_leaves_with_path(bundle.dit_params))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(expect):
+        np.testing.assert_array_equal(
+            np.asarray(got[path]), np.asarray(leaf),
+            err_msg=f"hub param mismatch at {jax.tree_util.keystr(path)}")
+    assert float(bundle.pca["latent_scale"]) == pytest.approx(PCA_SCALE)
+
+    # blockwise=False drops exactly the latent-encoder modules
+    slim = hub.load_models_from_hf(token=None, dtype=jnp.float32,
+                                   blockwise=False)
+    assert "latent_encoder" not in slim.dit_params
+    assert "wk_latent" not in slim.dit_params["blocks"]["attn"]
+
+
 def test_synthesize_and_checkpoint_roundtrip_identical_audio(
         model_dir, struct_configs, tmp_path):
     """ECHO_MODEL_DIR -> load_models -> synthesize, then orbax checkpoint
