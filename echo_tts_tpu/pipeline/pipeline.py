@@ -315,21 +315,35 @@ def sample_pipeline_chunked(
     normalize_text: bool = True,
 ) -> Tuple[np.ndarray, str]:
     """Library chunked variant with per-chunk seed progression seed+idx and
-    plain concatenation (reference: inference.py:349-388)."""
+    plain concatenation (reference: inference.py:349-388).
+
+    The speaker reference is AE-encoded ONCE and the latent reused across
+    chunks — numerically identical to per-chunk encoding (the encode is
+    deterministic) but saves (n_chunks - 1) codec passes, matching the
+    serving path's encode-once fast path (serve/handler.py)."""
     from .text import chunk_text
 
     chunks = chunk_text(text_prompt, max_chars=max_chars_per_chunk)
     if not chunks:
         raise ValueError("text_prompt is empty after normalization")
 
+    speaker_latent = speaker_mask = None
+    if speaker_audio is not None:
+        speaker_latent, speaker_mask = get_speaker_latent_and_mask(
+            models, speaker_audio,
+            max_speaker_latent_length=(pad_to_max_speaker_latent_length
+                                       or MAX_SPEAKER_LATENT_LENGTH),
+            pad_to_max=pad_to_max_speaker_latent_length is not None)
+
     audio_chunks: List[np.ndarray] = []
     normalized_chunks: List[str] = []
     for idx, chunk in enumerate(chunks):
         audio_out, normalized = sample_pipeline(
-            models, sample_fn, chunk, speaker_audio, rng_seed + idx,
+            models, sample_fn, chunk, None, rng_seed + idx,
             pad_to_max_speaker_latent_length=pad_to_max_speaker_latent_length,
             pad_to_max_text_length=pad_to_max_text_length,
-            normalize_text=normalize_text)
+            normalize_text=normalize_text,
+            speaker_latent=speaker_latent, speaker_mask=speaker_mask)
         audio_chunks.append(audio_out)
         normalized_chunks.append(normalized)
 

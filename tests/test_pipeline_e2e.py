@@ -87,6 +87,41 @@ def test_sample_pipeline_chunked_seeds(models):
     assert audio.shape[0] == 1 and np.isfinite(audio).all()
 
 
+def test_sample_pipeline_chunked_encodes_voice_once(models, monkeypatch):
+    """The library chunked variant AE-encodes the speaker reference once
+    and reuses the latent across chunks, matching serve/handler.py's
+    encode-once path — and the audio is identical to per-chunk encoding
+    (mirrors test_serve::test_chunked_request_encodes_voice_once)."""
+    import echo_tts_tpu.pipeline.pipeline as pl
+    from echo_tts_tpu.pipeline.text import chunk_text
+
+    rng = np.random.default_rng(4)
+    speaker = np.tanh(rng.standard_normal((1, 400))).astype(np.float32)
+    long_text = ("First sentence goes here. " * 4 +
+                 "Second block of text follows. " * 4)
+
+    calls = []
+    real = pl.get_speaker_latent_and_mask
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pl, "get_speaker_latent_and_mask", spy)
+    audio, _ = sample_pipeline_chunked(
+        models, _sample_fn, long_text, speaker, rng_seed=10,
+        max_chars_per_chunk=60)
+    assert len(calls) == 1  # one encode for the whole request
+
+    # equality vs the old per-chunk re-encode path
+    monkeypatch.setattr(pl, "get_speaker_latent_and_mask", real)
+    chunks = chunk_text(long_text, max_chars=60)
+    assert len(chunks) >= 2
+    parts = [sample_pipeline(models, _sample_fn, c, speaker, 10 + i)[0]
+             for i, c in enumerate(chunks)]
+    np.testing.assert_array_equal(audio, np.concatenate(parts, axis=-1))
+
+
 def test_ae_reconstruct(models):
     rng = np.random.default_rng(2)
     audio = np.tanh(rng.standard_normal((1, 320))).astype(np.float32)
