@@ -113,8 +113,18 @@ def health_check(cfg: Optional[ServeConfig] = None) -> Dict:
 
 
 def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
-               models: Optional[EchoModels] = None) -> Dict:
-    """Main synthesis path (reference: handler.py:682-803)."""
+               models: Optional[EchoModels] = None,
+               batch_server=None) -> Dict:
+    """Main synthesis path (reference: handler.py:682-803).
+
+    With `batch_server` (a serve.server.MicroBatchServer), the request's
+    chunks are submitted to the shared micro-batching executor instead of
+    running inline — concurrent requests' chunks coalesce into one
+    (G·B)-row sampler pass (serve/batcher.py).  Everything around the
+    sampler (validation, chunking, voice encode-once, boundary DSP,
+    upload, metadata) is identical in both modes, and per-request outputs
+    match the serial path (seeds/noise are per-request, masks carry true
+    lengths; equality pinned in test_server_integration)."""
     # Sanitize user-controlled filename components BEFORE any synthesis
     # work — failing at upload time would waste the full generation.
     request_id = sanitize_component(
@@ -195,27 +205,54 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
     # speaker buckets multiplied HBM footprint.  The durable win — the
     # voice encoded ONCE above instead of per chunk — is kept.
     audio_chunks: List[np.ndarray] = []
-    for idx, chunk in enumerate(chunks):
-        chunk_fn = sample_fn
-        if auto_seq:
-            from .presets import pick_sequence_bucket
-            bucket = pick_sequence_bucket(
-                chunk, sample_params["sequence_length"])
-            chunk_fn, _ = build_sample_fn(
-                {**(job_input.get("parameters") or {}),
-                 "sequence_length": bucket},
-                preset=job_input.get("preset"))
+    if batch_server is not None:
+        # Concurrent mode: submit every chunk up front (so chunks of THIS
+        # request coalesce with other requests' chunks in the executor),
+        # then gather in order.  Seed progression and the pre-encoded
+        # bucket-padded voice latent are identical to the serial loop.
+        from .batcher import BatchRequest
+        futs = []
+        for idx, chunk in enumerate(chunks):
+            chunk_params = dict(sample_params)
+            if auto_seq:
+                from .presets import pick_sequence_bucket
+                chunk_params["sequence_length"] = pick_sequence_bucket(
+                    chunk, sample_params["sequence_length"])
+            futs.append(batch_server.submit(
+                BatchRequest(text=chunk, seed=seed + idx * SEED_STRIDE,
+                             speaker_latent=spk_latent,
+                             speaker_mask=spk_mask,
+                             request_id=f"{request_id}:{idx}"),
+                chunk_params))
         with timer.stage("synthesis"):
-            chunk_audio, _ = sample_pipeline(
-                models, chunk_fn, chunk, None,
-                rng_seed=seed + idx * SEED_STRIDE,
-                speaker_latent=spk_latent, speaker_mask=spk_mask,
-                pad_to_max_speaker_latent_length=(
-                    None if spk_latent is not None else speaker_bucket))
-        audio_chunks.append(np.asarray(chunk_audio))
-        log.info("[%s] chunk %d/%d done (%.1fs audio)", request_id,
-                 idx + 1, len(chunks),
-                 chunk_audio.shape[-1] / SAMPLE_RATE)
+            for idx, fut in enumerate(futs):
+                res = fut.result()
+                audio_chunks.append(np.asarray(res.audio))
+                log.info("[%s] chunk %d/%d done (%.1fs audio, batched)",
+                         request_id, idx + 1, len(chunks),
+                         res.audio.shape[-1] / SAMPLE_RATE)
+    else:
+        for idx, chunk in enumerate(chunks):
+            chunk_fn = sample_fn
+            if auto_seq:
+                from .presets import pick_sequence_bucket
+                bucket = pick_sequence_bucket(
+                    chunk, sample_params["sequence_length"])
+                chunk_fn, _ = build_sample_fn(
+                    {**(job_input.get("parameters") or {}),
+                     "sequence_length": bucket},
+                    preset=job_input.get("preset"))
+            with timer.stage("synthesis"):
+                chunk_audio, _ = sample_pipeline(
+                    models, chunk_fn, chunk, None,
+                    rng_seed=seed + idx * SEED_STRIDE,
+                    speaker_latent=spk_latent, speaker_mask=spk_mask,
+                    pad_to_max_speaker_latent_length=(
+                        None if spk_latent is not None else speaker_bucket))
+            audio_chunks.append(np.asarray(chunk_audio))
+            log.info("[%s] chunk %d/%d done (%.1fs audio)", request_id,
+                     idx + 1, len(chunks),
+                     chunk_audio.shape[-1] / SAMPLE_RATE)
 
     with timer.stage("host_dsp"):
         if len(audio_chunks) == 1 or boundary_mode == "none":
@@ -405,15 +442,18 @@ def synthesize_stream(job_input: Dict, cfg: Optional[ServeConfig] = None,
     return final
 
 
-def handler(job: Dict, on_block=None) -> Dict:
-    """Queue-worker entry point (reference: handler.py:806-816)."""
+def handler(job: Dict, on_block=None, batch_server=None) -> Dict:
+    """Queue-worker entry point (reference: handler.py:806-816).
+    `batch_server` routes synthesis jobs through the shared
+    micro-batching executor (see synthesize); streaming jobs always run
+    serially — their latency contract is per-block, not per-request."""
     try:
         job_input = job.get("input") or {}
         if job_input.get("action") == "health_check":
             return health_check()
         if job_input.get("stream"):
             return synthesize_stream(job_input, on_block=on_block)
-        return synthesize(job_input)
+        return synthesize(job_input, batch_server=batch_server)
     except Exception as exc:
         return {
             "error": str(exc),
@@ -487,11 +527,70 @@ def warmup_compile(models: EchoModels,
                  label, time.time() - t0)
 
 
+def serve_stdin_concurrent(cfg: ServeConfig, *, max_batch: int,
+                           allow_random: bool = False,
+                           lines=None, emit=None) -> None:
+    """Concurrent stdin/stdout protocol: synthesis jobs run on a thread
+    pool and their chunks coalesce in one MicroBatchServer (one device
+    stream, bounded HBM — serve/server.py); streaming jobs run inline in
+    the intake loop so their per-block latency is never queued behind
+    batch work.  Responses carry request_id; completion order is NOT
+    input order (clients correlate by request_id).  `lines`/`emit` exist
+    for tests; production uses stdin/print."""
+    import json
+    import sys
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .server import MicroBatchServer
+
+    models = models_mod.load_models(cfg.model_dir,
+                                    allow_random=allow_random)
+    server = MicroBatchServer(models, max_batch=max_batch)
+    if emit is None:
+        import threading
+        _lock = threading.Lock()
+
+        def emit(obj):
+            with _lock:
+                print(json.dumps(obj), flush=True)
+
+    pool = ThreadPoolExecutor(max_workers=max_batch,
+                              thread_name_prefix="echo-job")
+    pending = []
+    try:
+        for line in (lines if lines is not None else sys.stdin):
+            line = line.strip() if isinstance(line, str) else line
+            if not line:
+                continue
+            if isinstance(line, str):
+                try:
+                    job = json.loads(line)
+                except json.JSONDecodeError as exc:
+                    emit({"error": f"invalid JSON: {exc}",
+                          "error_type": "JSONDecodeError", "traceback": ""})
+                    continue
+            else:
+                job = line
+            job_input = job.get("input") or {}
+            if job_input.get("stream"):
+                emit(handler(job, on_block=emit))
+            else:
+                pending.append(pool.submit(
+                    lambda j=job: emit(handler(j, batch_server=server))))
+        for f in pending:
+            f.result()
+    finally:
+        pool.shutdown(wait=True)
+        server.shutdown()
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     """CLI: `--warmup` pre-loads models then exits
     (reference: handler.py:822-861); `--warmup-compile` additionally
     compiles the default-shape programs.  Otherwise starts the runpod
-    worker when available, else serves stdin/stdout JSON lines."""
+    worker when available, else serves stdin/stdout JSON lines —
+    serially by default, or with `--concurrent N` / ECHO_CONCURRENT=N
+    through the micro-batching executor (serve_stdin_concurrent)."""
     import argparse
     import json
     import sys
@@ -500,6 +599,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--warmup", action="store_true")
     parser.add_argument("--warmup-compile", action="store_true")
     parser.add_argument("--allow-random-weights", action="store_true")
+    parser.add_argument(
+        "--concurrent", type=int,
+        default=int(os.environ.get("ECHO_CONCURRENT", "0")),
+        help="coalesce up to N concurrent synthesis jobs per device batch "
+             "(stdin protocol; 0 = serial, matching the reference worker)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -534,6 +638,13 @@ def main(argv: Optional[List[str]] = None) -> None:
         # progressively under this handler.
         runpod.serverless.start({"handler": handler})
     except ImportError:
+        if args.concurrent > 0:
+            log.info("runpod not installed; serving JSON lines on stdin "
+                     "with micro-batching (max_batch=%d)", args.concurrent)
+            serve_stdin_concurrent(
+                cfg, max_batch=args.concurrent,
+                allow_random=args.allow_random_weights)
+            return
         log.info("runpod not installed; serving JSON lines on stdin")
         for line in sys.stdin:
             line = line.strip()
