@@ -65,6 +65,18 @@ def _latent_inc_core(cfg: EchoDiTConfig, dtype):
     return run
 
 
+@functools.lru_cache(maxsize=8)
+def _prefix_update_core(cfg: EchoDiTConfig):
+    """Tiny write-in program (trivial compile, re-specializes per buffer
+    shape) so first-block programs don't have to take the prefix buffer
+    as an operand — which would key them on the stream total."""
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(prefix, x_t, start_pos):
+        return jax.lax.dynamic_update_slice(
+            prefix, x_t.astype(prefix.dtype), (0, start_pos, 0))
+    return run
+
+
 @functools.lru_cache(maxsize=256)
 def _block_core(
     cfg: EchoDiTConfig,
@@ -98,10 +110,40 @@ def _block_core(
     continuation): its latent-prefix columns are ALL masked, so the
     program drops the latent segment entirely — no prefix encode and no
     dead KV columns in any of the 40 steps' attention.  Masked columns
-    contribute exactly 0 (exp underflow), so this is the same math."""
+    contribute exactly 0 (exp underflow), so this is the same math.
+    First-block programs also don't take the prefix buffer (the write-in
+    is a separate tiny program, _prefix_update_core) and use
+    max_pos=block_size for their RoPE slice (start is always 0, so the
+    freqs are identical) — making them INDEPENDENT of the stream total:
+    one compiled first-block program per block size serves every
+    schedule."""
     plan = build_step_plan(num_steps, cfg_min_t, cfg_max_t, rescale_k,
                            rescale_sigma, speaker_kv_scale,
                            speaker_kv_min_t)
+
+    def _denoise(params, noise, kv_static, spk_cols, mask_cfg, mask_plain,
+                 start_pos, max_pos):
+        x_t = noise.astype(jnp.float32)
+        if truncation_factor is not None:
+            x_t = x_t * np.float32(truncation_factor)
+        return run_step_segments(
+            params, cfg, x_t, plan, kv_static, spk_cols, mask_cfg,
+            mask_plain, cfg_scale_text=cfg_scale_text,
+            cfg_scale_speaker=cfg_scale_speaker,
+            speaker_kv_max_layers=speaker_kv_max_layers, dtype=dtype,
+            start_pos=start_pos, max_pos=max_pos)
+
+    if first_block:
+        @jax.jit
+        def run(params, noise, kv_text, kv_speaker, text_mask,
+                speaker_mask):
+            kv_static, spk_cols = dit.concat_static_kv(
+                cfg, kv_text, kv_speaker)
+            mask_cfg, mask_plain = make_cfg_branch_masks(
+                cfg, text_mask, speaker_mask)
+            return _denoise(params, noise, kv_static, spk_cols, mask_cfg,
+                            mask_plain, 0, block_size)
+        return run
 
     @jax.jit
     def run(params, prefix, noise, start_pos, kv_text, kv_speaker,
@@ -109,39 +151,24 @@ def _block_core(
         batch_size = text_mask.shape[0]
         n_lat = prefix.shape[1] // cfg.speaker_patch_size
 
-        if first_block:
-            kv_static, spk_cols = dit.concat_static_kv(
-                cfg, kv_text, kv_speaker)
-            mask_cfg, mask_plain = make_cfg_branch_masks(
-                cfg, text_mask, speaker_mask)
+        if external_latent_kv:
+            kv_latent = (latent_kv[0], latent_kv[1])
         else:
-            if external_latent_kv:
-                kv_latent = (latent_kv[0], latent_kv[1])
-            else:
-                # Per-block latent-prefix re-encode
-                # (inference_blockwise.py:72-74); constant across the
-                # block's steps, so it concatenates into the static KV
-                # here, outside the step scans.
-                kv_latent = dit.get_kv_cache_latent(params, cfg,
-                                                    prefix.astype(dtype))
-            lat_mask = dit.latent_prefix_mask_dynamic(
-                batch_size, n_lat, start_pos, cfg.speaker_patch_size)
-            kv_static, spk_cols = dit.concat_static_kv(
-                cfg, kv_text, kv_speaker, kv_latent)
-            mask_cfg, mask_plain = make_cfg_branch_masks(
-                cfg, text_mask, speaker_mask, lat_mask)
+            # Per-block latent-prefix re-encode
+            # (inference_blockwise.py:72-74); constant across the
+            # block's steps, so it concatenates into the static KV
+            # here, outside the step scans.
+            kv_latent = dit.get_kv_cache_latent(params, cfg,
+                                                prefix.astype(dtype))
+        lat_mask = dit.latent_prefix_mask_dynamic(
+            batch_size, n_lat, start_pos, cfg.speaker_patch_size)
+        kv_static, spk_cols = dit.concat_static_kv(
+            cfg, kv_text, kv_speaker, kv_latent)
+        mask_cfg, mask_plain = make_cfg_branch_masks(
+            cfg, text_mask, speaker_mask, lat_mask)
 
-        x_t = noise.astype(jnp.float32)
-        if truncation_factor is not None:
-            x_t = x_t * np.float32(truncation_factor)
-
-        x_t = run_step_segments(
-            params, cfg, x_t, plan, kv_static, spk_cols, mask_cfg,
-            mask_plain, cfg_scale_text=cfg_scale_text,
-            cfg_scale_speaker=cfg_scale_speaker,
-            speaker_kv_max_layers=speaker_kv_max_layers, dtype=dtype,
-            start_pos=start_pos, max_pos=total_len)
-
+        x_t = _denoise(params, noise, kv_static, spk_cols, mask_cfg,
+                       mask_plain, start_pos, total_len)
         prefix = jax.lax.dynamic_update_slice(
             prefix, x_t, (0, start_pos, 0))
         return x_t, prefix
@@ -174,6 +201,7 @@ def iter_blockwise_euler_cfg_independent_guidances(
     initial_noises: Optional[List[jnp.ndarray]] = None,
     rng_key: Optional[jax.Array] = None,
     incremental_latent: bool = False,
+    total_len_bucket: Optional[int] = None,
 ):
     """Generator over blocks: yields (block_start, block_latents, prefix)
     after each block, where prefix is the full running latent buffer —
@@ -183,7 +211,16 @@ def iter_blockwise_euler_cfg_independent_guidances(
     (encode each block once, O(block) instead of the reference's
     O(total) full-buffer re-encode per block — dit.latent_kv_append_block);
     outputs are mathematically identical, pinned in
-    tests/test_blockwise_parity.py."""
+    tests/test_blockwise_parity.py.
+
+    total_len_bucket pads the prefix buffer to a STATIC bucket length so
+    every stream whose total falls in the same bucket shares compiled
+    block programs (each distinct total otherwise compiles its own —
+    _block_core is keyed on total_len).  The padding columns sit past
+    start_pos forever, so the position-gated latent mask excludes them in
+    every block: outputs are identical to the unbucketed run (pinned in
+    tests/test_blockwise_parity.py).  The stream's FIRST block drops the
+    latent segment entirely, so it pays no padding cost at all."""
     batch_size = text_input_ids.shape[0]
     block_sizes = list(block_sizes)
 
@@ -192,12 +229,26 @@ def iter_blockwise_euler_cfg_independent_guidances(
 
     total = sum(block_sizes)
     start_pos = 0
-    prefix = jnp.zeros((batch_size, total, cfg.latent_size), jnp.float32)
+    cont_len = (0 if continuation_latent is None
+                else continuation_latent.shape[1])
+    pad = 0
+    if total_len_bucket is not None:
+        if total_len_bucket < cont_len + total:
+            raise ValueError(
+                f"total_len_bucket {total_len_bucket} smaller than "
+                f"continuation {cont_len} + sum(block_sizes) {total}")
+        if total_len_bucket % cfg.speaker_patch_size != 0:
+            raise ValueError(
+                f"total_len_bucket {total_len_bucket} must be divisible "
+                f"by speaker_patch_size {cfg.speaker_patch_size}")
+        pad = total_len_bucket - cont_len - total
+    prefix = jnp.zeros((batch_size, total + pad, cfg.latent_size),
+                       jnp.float32)
     if continuation_latent is not None:
-        start_pos = continuation_latent.shape[1]
+        start_pos = cont_len
         prefix = jnp.concatenate(
             [continuation_latent.astype(jnp.float32), prefix], axis=1)
-    if prefix.shape[1] % cfg.speaker_patch_size != 0:
+    if (cont_len + total) % cfg.speaker_patch_size != 0:
         raise ValueError(
             f"continuation length {start_pos} + sum(block_sizes) {total} must "
             f"be divisible by speaker_patch_size {cfg.speaker_patch_size}")
@@ -245,13 +296,23 @@ def iter_blockwise_euler_cfg_independent_guidances(
                 (batch_size, block_size, cfg.latent_size), jnp.float32)
 
         first = b_idx == 0 and continuation_latent is None
-        core = _block_core(cfg, prefix.shape[1], block_size, *statics,
-                           incremental_latent, first)
-        extra = ((inc_state["lat_k"], inc_state["lat_v"])
-                 if incremental_latent and not first else ())
-        x_t, prefix = core(params, prefix, noise,
-                           jnp.int32(start_pos), kv_text, kv_speaker,
-                           text_mask, speaker_mask, *extra)
+        if first:
+            # total-independent program: keyed on block_size only (the
+            # external_latent_kv flag is irrelevant here — pass False so
+            # both iterator modes share one compiled program)
+            core = _block_core(cfg, block_size, block_size, *statics,
+                               False, True)
+            x_t = core(params, noise, kv_text, kv_speaker,
+                       text_mask, speaker_mask)
+            prefix = _prefix_update_core(cfg)(prefix, x_t, 0)
+        else:
+            core = _block_core(cfg, prefix.shape[1], block_size, *statics,
+                               incremental_latent, False)
+            extra = ((inc_state["lat_k"], inc_state["lat_v"])
+                     if incremental_latent else ())
+            x_t, prefix = core(params, prefix, noise,
+                               jnp.int32(start_pos), kv_text, kv_speaker,
+                               text_mask, speaker_mask, *extra)
         yield start_pos, x_t, prefix
         if incremental_latent and b_idx + 1 < len(block_sizes):
             # append the just-generated block's patches for later blocks
@@ -264,7 +325,9 @@ def sample_blockwise_euler_cfg_independent_guidances(*args, **kwargs):
     (B, cont_len + sum(block_sizes), latent) float32
     (reference: inference_blockwise.py:14-123)."""
     prefix = None
-    for _, _, prefix in iter_blockwise_euler_cfg_independent_guidances(
+    end = 0
+    for start, x_t, prefix in iter_blockwise_euler_cfg_independent_guidances(
             *args, **kwargs):
-        pass
-    return prefix
+        end = start + x_t.shape[1]
+    # drop total_len_bucket padding (zeros past the last generated block)
+    return prefix[:, :end]

@@ -488,43 +488,76 @@ def handler_generator(job: Dict):
 
 
 def warmup_compile(models: EchoModels,
-                   parameters: Optional[Dict] = None) -> None:
-    """Compile the default-shape production programs so the first request
-    pays no XLA compile (run with a persistent JAX_COMPILATION_CACHE_DIR
-    and every restart is warm): text bucket 768 with (a) no voice and
-    (b) the 640-latent speaker bucket, default sampler params, plus the
-    codec decode.  Goes through the real request paths so the cache keys
-    match exactly."""
-    sample_fn, _ = build_sample_fn(parameters)
-    t0 = time.time()
-    sample_pipeline(models, sample_fn, "Warmup utterance.", None,
-                    rng_seed=0)
-    log.info("warmup compile (no voice): %.1fs", time.time() - t0)
-    t0 = time.time()
-    spl = models_frame_length(models)
-    silence = np.zeros((1, 640 * spl), np.float32)
-    sample_pipeline(models, sample_fn, "Warmup utterance.", silence,
-                    rng_seed=0, pad_to_max_speaker_latent_length=640)
-    log.info("warmup compile (speaker bucket 640): %.1fs",
-             time.time() - t0)
-    # default streaming schedule: blockwise prefill + first/later block
-    # programs + incremental decode.  Both speaker shapes are warmed —
-    # block programs re-specialize per speaker-KV width, so the voiceless
-    # pass alone would leave the dominant voiced (640-latent bucket) case
-    # to compile at the first real stream's first-audio time.
+                   parameters: Optional[Dict] = None, *,
+                   full: bool = False, batch_sizes=(),
+                   manifest=None) -> None:
+    """Compile the production programs so no accepted request shape pays
+    an XLA compile at traffic time (run with a persistent
+    JAX_COMPILATION_CACHE_DIR and every restart is warm).
+
+    The shapes come from serve.presets.warmup_manifest — derived from the
+    SAME constants request validation uses, so the warmed surface and the
+    accepted surface cannot drift apart.  Default: the high-traffic
+    subset (default sequence length, speaker {none, smallest bucket},
+    default + growing stream schedules).  full=True enumerates the
+    ENTIRE accepted surface (every sequence x speaker bucket, every
+    reachable (stream-total bucket x block size x first/later) program);
+    batch_sizes warms the micro-batch server's (G*B)-row programs.
+    Every entry executes through the real request paths so the XLA cache
+    keys match production exactly."""
+    from .presets import warmup_manifest
     from .streaming import stream_synthesize
-    for label, spk_latent in (
-            ("no voice", None),
-            ("speaker bucket 640",
-             np.zeros((1, 640, models.dit_cfg.latent_size), np.float32))):
+
+    if manifest is None:
+        manifest = warmup_manifest(
+            batch_sizes, full=full,
+            default_sequence_length=(parameters or {}).get(
+                "sequence_length"))
+
+    def spk_latent(bucket):
+        if bucket is None:
+            return None
+        return np.zeros((1, bucket, models.dit_cfg.latent_size),
+                        np.float32)
+
+    t_all = time.time()
+    for i, e in enumerate(manifest):
         t0 = time.time()
-        for _ in stream_synthesize(models, "Warmup utterance.", None,
-                                   chunk_size=160, num_chunks=4,
-                                   speaker_latent=spk_latent,
-                                   sampler_params=parameters):
-            pass
-        log.info("warmup compile (streaming 160x4, %s): %.1fs",
-                 label, time.time() - t0)
+        s = e.get("speaker_bucket")
+        if e["kind"] == "oneshot":
+            sample_fn, _ = build_sample_fn(
+                {**(parameters or {}),
+                 "sequence_length": e["sequence_length"]})
+            lat = spk_latent(s)
+            sample_pipeline(
+                models, sample_fn, "Warmup utterance.", None, rng_seed=0,
+                speaker_latent=lat,
+                speaker_mask=(None if lat is None
+                              else np.ones(lat.shape[:2], bool)))
+        elif e["kind"] == "stream":
+            for _ in stream_synthesize(
+                    models, "Warmup utterance.", None,
+                    chunk_sizes=e["chunk_sizes"],
+                    speaker_latent=spk_latent(s),
+                    sampler_params=parameters):
+                pass
+        elif e["kind"] == "batch":
+            from .batcher import BatchRequest, run_batch
+            lat = spk_latent(s)
+            run_batch(
+                models,
+                [BatchRequest(text="Warmup utterance.", seed=k,
+                              speaker_latent=lat)
+                 for k in range(e["batch_size"])],
+                sampler_params={**(parameters or {}),
+                                "sequence_length": e["sequence_length"]},
+                speaker_bucket=s)
+        else:
+            raise ValueError(f"unknown warmup entry kind: {e['kind']!r}")
+        log.info("warmup %d/%d %s: %.1fs", i + 1, len(manifest), e,
+                 time.time() - t0)
+    log.info("warmup compile: %d entries in %.1fs", len(manifest),
+             time.time() - t_all)
 
 
 def serve_stdin_concurrent(cfg: ServeConfig, *, max_batch: int,
@@ -598,6 +631,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--warmup", action="store_true")
     parser.add_argument("--warmup-compile", action="store_true")
+    parser.add_argument(
+        "--warmup-full", action="store_true",
+        help="warm the ENTIRE accepted shape surface (every sequence x "
+             "speaker bucket and stream program; one-time, long on a "
+             "cold cache) instead of the high-traffic subset")
     parser.add_argument("--allow-random-weights", action="store_true")
     parser.add_argument(
         "--concurrent", type=int,
@@ -621,11 +659,14 @@ def main(argv: Optional[List[str]] = None) -> None:
     for issue in cfg.issues:
         log.warning("config: %s (starting anyway)", issue)
 
-    if args.warmup or args.warmup_compile:
+    if args.warmup or args.warmup_compile or args.warmup_full:
         models = models_mod.load_models(
             cfg.model_dir, allow_random=args.allow_random_weights)
-        if args.warmup_compile:
-            warmup_compile(models)
+        if args.warmup_compile or args.warmup_full:
+            warmup_compile(
+                models, full=args.warmup_full,
+                batch_sizes=((args.concurrent,) if args.concurrent > 0
+                             else ()))
         log.info("warmup complete")
         return
 

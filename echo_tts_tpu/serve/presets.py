@@ -35,6 +35,22 @@ SEQUENCE_BUCKETS = "160, 320, 480, 640"
 # 320, ...) is the latency/throughput sweet spot (docs/PERFORMANCE.md §6).
 STREAM_CHUNK_SIZES = (40, 80, 160, 320)
 MAX_STREAM_CHUNKS = 16
+# Stream-TOTAL buckets: the blockwise sampler compiles per (total_len,
+# block_size), so without bucketing every distinct schedule total is a
+# fresh full-size XLA compile.  stream_synthesize pads the prefix buffer
+# to the smallest bucket >= the schedule total (masked padding — outputs
+# identical, sampler/blockwise.py), making the serving compile surface
+# FINITE: buckets x block sizes x {first, later} x speaker widths.  The
+# top bucket covers the largest acceptable schedule (16 x 320 = 5120).
+STREAM_TOTAL_BUCKETS = "320, 640, 960, 1280, 1920, 2560, 3840, 5120"
+
+
+def pick_stream_total_bucket(total_latents: int,
+                             buckets: str = STREAM_TOTAL_BUCKETS):
+    """Smallest bucket >= total, or None when total exceeds every bucket
+    (the caller then runs unbucketed — correct, just a fresh compile)."""
+    b = find_min_bucket_gte(buckets, total_latents)
+    return None if b is None or b < total_latents else b
 
 
 def growing_schedule(total_latents: int) -> list:
@@ -111,6 +127,106 @@ def get_preset(name: str) -> Dict:
 def pick_text_bucket(actual_length: int,
                      buckets: str = TEXT_BUCKETS) -> int:
     return find_min_bucket_gte(buckets, actual_length)
+
+
+def _parse_buckets(values_str: str):
+    return [int(v.strip()) for v in values_str.split(",") if v.strip()]
+
+
+def _later_cover_schedule(tb: int, buckets: str = STREAM_TOTAL_BUCKETS):
+    """A valid stream schedule whose total lands in bucket `tb` and that
+    contains every STREAM_CHUNK_SIZES entry reachable as a NON-first
+    block within the bucket — warming, in one stream, every
+    (total-bucket, later-block-size) program the bucket can serve.
+    Sizes whose inclusion would overflow the bucket (e.g. a later-320 in
+    the 320 bucket) are genuinely unreachable in traffic and skipped."""
+    totals = _parse_buckets(buckets)
+    prev = max([t for t in totals if t < tb], default=0)
+    sched = [min(STREAM_CHUNK_SIZES)]
+    for c in sorted(STREAM_CHUNK_SIZES):
+        if sum(sched) + c <= tb and len(sched) < MAX_STREAM_CHUNKS:
+            sched.append(c)
+    biggest = max(STREAM_CHUNK_SIZES)
+    while (sum(sched) <= prev and sum(sched) + biggest <= tb
+           and len(sched) < MAX_STREAM_CHUNKS):
+        sched.append(biggest)
+    if sum(sched) <= prev:
+        raise ValueError(
+            f"cannot build a schedule landing in total bucket {tb} "
+            f"within MAX_STREAM_CHUNKS={MAX_STREAM_CHUNKS}")
+    return sched
+
+
+def warmup_manifest(batch_sizes=(), *, full: bool = False,
+                    default_sequence_length: Optional[int] = None):
+    """Every static shape the serving surface accepts, derived from THE
+    SAME constants request validation uses (this module) so the two can
+    never drift apart (pinned in tests/test_warmup_manifest.py).
+
+    Entry kinds (executed by serve.handler.warmup_compile through the
+    real request paths, so XLA cache keys match production exactly):
+
+      {"kind": "oneshot", "text_bucket", "speaker_bucket", "sequence_length"}
+      {"kind": "stream",  "speaker_bucket", "chunk_sizes", "total_bucket"}
+      {"kind": "batch",   "batch_size", "speaker_bucket", "sequence_length"}
+
+    full=False (default) warms the high-traffic subset: default sequence
+    length, speaker {none, smallest bucket}, the default stream schedule
+    plus the growing schedule, and the given batch sizes.  full=True
+    enumerates the ENTIRE accepted surface — every sequence bucket x
+    speaker bucket, and every (stream-total bucket x block size x
+    first/later) combination; expect it to take a long time on a cold
+    cache (one full-size XLA compile per program) but it is one-time per
+    cache volume.
+    """
+    from ..config import SAMPLER_DEFAULTS
+    seq_default = (default_sequence_length
+                   or SAMPLER_DEFAULTS["sequence_length"])
+    text_buckets = _parse_buckets(TEXT_BUCKETS)
+    speaker_all = [None] + _parse_buckets(SPEAKER_BUCKETS)
+    seq_all = sorted(set(_parse_buckets(SEQUENCE_BUCKETS)) | {seq_default})
+    totals = _parse_buckets(STREAM_TOTAL_BUCKETS)
+    sizes = list(STREAM_CHUNK_SIZES)
+
+    speakers = speaker_all if full else [None, speaker_all[1]]
+    seqs = seq_all if full else [seq_default]
+
+    entries = []
+    for t in text_buckets:
+        for s in speakers:
+            for q in seqs:
+                entries.append({"kind": "oneshot", "text_bucket": t,
+                                "speaker_bucket": s, "sequence_length": q})
+
+    def stream_entry(s, schedule):
+        total = sum(schedule)
+        return {"kind": "stream", "speaker_bucket": s,
+                "chunk_sizes": list(schedule),
+                "total_bucket": pick_stream_total_bucket(total)}
+
+    if full:
+        # Later-block programs are keyed on (total bucket, block size);
+        # first-block programs only on block size (sampler/blockwise.py).
+        # So: per (total bucket x speaker), ONE stream whose schedule
+        # contains every chunk size as a NON-first block (skipping sizes
+        # unreachable as later blocks within the bucket), plus one
+        # single-block stream per remaining size for the first-block
+        # programs.
+        for s in speakers:
+            for c in sizes[1:]:
+                entries.append(stream_entry(s, [c]))
+            for tb in totals:
+                entries.append(stream_entry(s, _later_cover_schedule(tb)))
+    else:
+        for s in speakers:
+            entries.append(stream_entry(s, [160] * 4))   # default schedule
+            entries.append(stream_entry(s, list(sizes)))  # growing ramp
+    for b in batch_sizes:
+        for s in speakers:
+            entries.append({"kind": "batch", "batch_size": int(b),
+                            "speaker_bucket": s,
+                            "sequence_length": seq_default})
+    return entries
 
 
 def pick_speaker_bucket(actual_latents: int,

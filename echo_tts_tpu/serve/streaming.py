@@ -135,6 +135,14 @@ def stream_synthesize(
                and all(c % ps == 0 for c in chunk_sizes)
                and (continuation_latent is None
                     or continuation_latent.shape[1] % ps == 0))
+    # Pad the prefix buffer to a static total bucket so every schedule
+    # whose total lands in the same bucket shares compiled block programs
+    # (identical outputs — the position-gated mask hides the padding;
+    # sampler/blockwise.py).  Keeps the serving compile surface finite.
+    from .presets import pick_stream_total_bucket
+    total_bucket = pick_stream_total_bucket(total)
+    if total_bucket is not None and total_bucket % ps != 0:
+        total_bucket = None
     blocks = iter_blockwise_euler_cfg_independent_guidances(
         models.dit_params, models.dit_cfg,
         jnp.asarray(speaker_latent), jnp.asarray(speaker_mask),
@@ -143,7 +151,7 @@ def stream_synthesize(
         continuation_latent=(None if continuation_latent is None
                              else jnp.asarray(continuation_latent)),
         dtype=models.dtype, rng_key=jax.random.PRNGKey(seed),
-        incremental_latent=use_inc, **p)
+        incremental_latent=use_inc, total_len_bucket=total_bucket, **p)
 
     state = ae_decode_stream_init(models)
     if continuation_latent is not None:

@@ -194,6 +194,75 @@ def test_blockwise_incremental_latent_matches_reencode(setup):
             rng_key=jax.random.PRNGKey(3), **BASE))
 
 
+def test_total_len_bucket_identical(setup):
+    """Padding the prefix buffer to a static total bucket must not change
+    outputs (the position-gated latent mask hides the padding), and the
+    FIRST-block program must be shared across totals (keyed on block size
+    only) so bucketing makes the serving compile surface finite."""
+    import jax
+
+    import echo_tts_tpu.sampler.blockwise as bw
+
+    _, params, _ = setup
+    rng = np.random.default_rng(31)
+    ids = rng.integers(0, CFG.text_vocab_size, size=(1, 10))
+    tmask = np.ones((1, 10), dtype=bool)
+    spk_latent = rand(rng, 1, 8, CFG.latent_size)
+    smask = np.ones((1, 8), dtype=bool)
+    common = dict(
+        block_sizes=[8, 8, 4], dtype=jnp.float32,
+        rng_key=jax.random.PRNGKey(5), **BASE)
+
+    base = np.asarray(sample_blockwise_euler_cfg_independent_guidances(
+        params, CFG, jnp.asarray(spk_latent), jnp.asarray(smask),
+        jnp.asarray(ids), jnp.asarray(tmask), **common))
+    bucketed = np.asarray(sample_blockwise_euler_cfg_independent_guidances(
+        params, CFG, jnp.asarray(spk_latent), jnp.asarray(smask),
+        jnp.asarray(ids), jnp.asarray(tmask), total_len_bucket=32,
+        **common))
+    assert bucketed.shape == base.shape  # padding cropped off
+    np.testing.assert_allclose(bucketed, base, atol=1e-5, rtol=1e-4)
+
+    # first-block core: same object for totals 20 and 32 (bucket)
+    c20 = bw._block_core(CFG, 8, 8, 4, 3.0, 5.0, 0.5, 1.0, 0.8, None,
+                         None, None, None, None, jnp.dtype(jnp.float32),
+                         False, True)
+    assert c20 is bw._block_core(
+        CFG, 8, 8, 4, 3.0, 5.0, 0.5, 1.0, 0.8, None, None, None, None,
+        None, jnp.dtype(jnp.float32), False, True)
+
+    with pytest.raises(ValueError, match="smaller than"):
+        list(sample_blockwise_euler_cfg_independent_guidances(
+            params, CFG, jnp.asarray(spk_latent), jnp.asarray(smask),
+            jnp.asarray(ids), jnp.asarray(tmask), total_len_bucket=16,
+            **common))
+
+
+def test_total_len_bucket_incremental(setup):
+    """Bucketed + incremental latent-KV: the oversized append buffer's
+    unwritten columns are masked out, so outputs still match."""
+    import jax
+
+    _, params, _ = setup
+    rng = np.random.default_rng(37)
+    ids = rng.integers(0, CFG.text_vocab_size, size=(1, 10))
+    tmask = np.ones((1, 10), dtype=bool)
+    spk_latent = rand(rng, 1, 8, CFG.latent_size)
+    smask = np.ones((1, 8), dtype=bool)
+    common = dict(
+        block_sizes=[8, 8], dtype=jnp.float32,
+        rng_key=jax.random.PRNGKey(6), **BASE)
+
+    base = np.asarray(sample_blockwise_euler_cfg_independent_guidances(
+        params, CFG, jnp.asarray(spk_latent), jnp.asarray(smask),
+        jnp.asarray(ids), jnp.asarray(tmask), **common))
+    got = np.asarray(sample_blockwise_euler_cfg_independent_guidances(
+        params, CFG, jnp.asarray(spk_latent), jnp.asarray(smask),
+        jnp.asarray(ids), jnp.asarray(tmask), total_len_bucket=32,
+        incremental_latent=True, **common))
+    np.testing.assert_allclose(got, base, atol=1e-5, rtol=1e-4)
+
+
 def test_blockwise_continuation(setup):
     rng = np.random.default_rng(99)
     continuation = rand(rng, 1, 8, CFG.latent_size)

@@ -224,10 +224,25 @@ def test_synthesize_stream_validation(models, cfg):
 
 
 def test_warmup_compile_runs_production_paths(models):
-    """warmup_compile drives the real no-voice + speaker-bucket request
-    paths (fast params on the tiny model)."""
+    """warmup_compile executes every manifest entry kind through the real
+    request paths (tiny shapes on the tiny model; the production-scale
+    manifest derivation itself is pinned in test_warmup_manifest.py)."""
+    manifest = [
+        {"kind": "oneshot", "text_bucket": 768, "speaker_bucket": None,
+         "sequence_length": 8},
+        {"kind": "oneshot", "text_bucket": 768, "speaker_bucket": 8,
+         "sequence_length": 8},
+        {"kind": "stream", "speaker_bucket": 8, "chunk_sizes": [4, 4],
+         "total_bucket": None},
+        {"kind": "batch", "batch_size": 2, "speaker_bucket": None,
+         "sequence_length": 8},
+    ]
     h.warmup_compile(models, parameters={"num_steps": 2,
-                                         "sequence_length": 8})
+                                         "sequence_length": 8},
+                     manifest=manifest)
+    import pytest
+    with pytest.raises(ValueError, match="unknown warmup entry kind"):
+        h.warmup_compile(models, manifest=[{"kind": "bogus"}])
 
 
 def test_storage_sanitizes_components(cfg):

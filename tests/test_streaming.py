@@ -12,6 +12,11 @@ from echo_tts_tpu.pipeline.pipeline import (ae_decode, ae_decode_block,
                                             ae_encode_stream_init)
 from echo_tts_tpu.sampler.blockwise import (
     sample_blockwise_euler_cfg_independent_guidances)
+# the serve layer buckets the stream total (finite compile surface);
+# direct sampler calls below pass the same bucket so comparisons stay
+# bit-exact (bucketed == unbucketed up to float reassociation is pinned
+# separately in test_blockwise_parity.py)
+from echo_tts_tpu.serve.presets import pick_stream_total_bucket
 from echo_tts_tpu.serve.streaming import stream_synthesize
 
 FAST = {"num_steps": 2, "cfg_scale_text": 3.0, "cfg_scale_speaker": 8.0,
@@ -163,7 +168,8 @@ def test_stream_matches_full_decode(models):
         jnp.zeros((1, ps, 80)), jnp.zeros((1, ps), bool),
         jnp.asarray(ids), jnp.asarray(mask),
         block_sizes=[4, 4], dtype=models.dtype,
-        rng_key=jax.random.PRNGKey(9), **FAST)
+        rng_key=jax.random.PRNGKey(9),
+        total_len_bucket=pick_stream_total_bucket(8), **FAST)
     full = np.asarray(ae_decode(models, latents))
     np.testing.assert_allclose(streamed, full, atol=1e-5)
 
@@ -192,7 +198,8 @@ def test_stream_mixed_chunk_sizes(models):
         jnp.zeros((1, ps, 80)), jnp.zeros((1, ps), bool),
         jnp.asarray(ids), jnp.asarray(mask),
         block_sizes=[4, 8, 4], dtype=models.dtype,
-        rng_key=jax.random.PRNGKey(2), **FAST)
+        rng_key=jax.random.PRNGKey(2),
+        total_len_bucket=pick_stream_total_bucket(16), **FAST)
     full = np.asarray(ae_decode(models, latents))
     streamed = np.concatenate([c.audio for c in chunks], axis=-1)
     np.testing.assert_allclose(streamed, full, atol=1e-5)
@@ -241,7 +248,8 @@ def test_stream_continuation(models):
         jnp.asarray(ids), jnp.asarray(mask),
         block_sizes=[4, 4], dtype=models.dtype,
         rng_key=jax.random.PRNGKey(1),
-        continuation_latent=jnp.asarray(cont), **FAST)
+        continuation_latent=jnp.asarray(cont),
+        total_len_bucket=pick_stream_total_bucket(12), **FAST)
     full = np.asarray(ae_decode(models, latents))
     spl = models.dac_cfg.frame_length
     streamed = np.concatenate([c.audio for c in chunks], axis=-1)
