@@ -19,8 +19,8 @@ from ..pipeline.pipeline import EchoModels
 DIT_REPO = "jordand/echo-tts-base"          # reference: inference.py:25
 DAC_REPO = "jordand/fish-s1-dac-min"        # reference: inference.py:62
 DIT_FILE = "pytorch_model.safetensors"
-DAC_FILE = "model.safetensors"
-PCA_FILE = "pca_state.safetensors"
+DAC_FILE = "pytorch_model.safetensors"  # reference: inference.py:61
+PCA_FILE = "pca_state.safetensors"      # reference: inference.py:92
 
 
 def _download(repo: str, filename: str, token: Optional[str]) -> str:
