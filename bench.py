@@ -33,6 +33,15 @@ perf claims are machine-checkable:
                serve/batcher.run_batch (ONE (3*8)-row CFG-batched sampler
                + one B=8 decode, shared 640-latent voice latent), nominal
                generated audio seconds / wall seconds, median of 2
+  throughput_rtf_b8_chip  the same batch measured CHIP-SIDE (scalar-
+               checksum stage programs: B=8 prefill + (3*8)-row sampler +
+               2x B=4 decode) — excludes host text processing and the
+               axon tunnel's device->host audio transfers, which are a
+               dev-tunnel artifact, not a production cost
+  ttfa_serve_ms  time-to-first-audio measured at the SERVING layer
+               (serve/handler.iter_synthesize_stream: request validation,
+               cached voice latent, per-block WAV write + event emit) —
+               the delta over ttfa_ms is the serve layer's own overhead
 """
 from __future__ import annotations
 
@@ -183,8 +192,41 @@ def build():
                                     dtype=jnp.bfloat16)
     models = EchoModels(params_bw, cfg_bw, dac_params, dac_cfg, pca,
                         dtype=jnp.bfloat16)
+
+    # --- chip-side B=8 stage programs (close over cfg_bw: they run on the
+    # models bundle's params, AFTER the one-shot arrays are freed) ---
+    @jax.jit
+    def prefill_b8(params, text_ids, text_mask, speaker_latent):
+        kv_text = dit.get_kv_cache_text(params, cfg_bw, text_ids, text_mask)
+        kv_speaker = dit.get_kv_cache_speaker(
+            params, cfg_bw, speaker_latent.astype(jnp.bfloat16))
+        (k, v), spk_cols = dit.concat_static_kv(cfg_bw, kv_text, kv_speaker)
+        chk = (jnp.sum(k.astype(jnp.float32))
+               + jnp.sum(v.astype(jnp.float32)))
+        return (k, v), spk_cols, chk
+
+    @jax.jit
+    def sampler_b8(params, kv_static, spk_cols, text_mask, speaker_mask,
+                   noise):
+        mask_cfg, mask_plain = make_cfg_branch_masks(
+            cfg_bw, text_mask, speaker_mask)
+        latents = run_step_segments(
+            params, cfg_bw, noise.astype(jnp.float32), plan, kv_static,
+            spk_cols, mask_cfg, mask_plain, cfg_scale_text=3.0,
+            cfg_scale_speaker=8.0, speaker_kv_max_layers=None,
+            dtype=jnp.bfloat16)
+        return latents, jnp.sum(latents)
+
+    @jax.jit
+    def decode_b4(dac_params, pca, latents):
+        z_q = jdac.pca_unwhiten(latents, pca)
+        audio = jdac.decode_zq(dac_params, dac_cfg,
+                               z_q.astype(jnp.bfloat16))
+        return jnp.sum(audio.astype(jnp.float32))
+
+    b8 = (prefill_b8, sampler_b8, decode_b4)
     return (gen, prefill, sampler_only, decode_only, params, dac_params,
-            pca, inputs, models, sampler_kw)
+            pca, inputs, models, sampler_kw, b8)
 
 
 # Streamed-stage block schedule: growing blocks (serve/presets.py:
@@ -213,6 +255,44 @@ def _stream_once(models, inp, sampler_kw):
     return ttfa, time.perf_counter() - t0
 
 
+def _serve_ttfa_once(models, job, cfg_srv):
+    """One streamed request through the SERVING layer; returns first-block
+    latency (request validation + cached voice latent + sampler block +
+    incremental decode + WAV write + event build).  The stream is drained
+    fully so the next run never overlaps leftover device work."""
+    from echo_tts_tpu.serve import handler as h
+    t0 = time.perf_counter()
+    ttfa = None
+    for ev in h.iter_synthesize_stream(job, cfg=cfg_srv, models=models):
+        if ttfa is None and ev.get("event") == "block":
+            ttfa = time.perf_counter() - t0
+    return ttfa
+
+
+def _serve_ttfa(models, sampler_kw, n=3):
+    import tempfile
+
+    from echo_tts_tpu.pipeline import audio_io
+    from echo_tts_tpu.serve.config import load_config
+
+    tmp = tempfile.mkdtemp(prefix="echo_bench_serve_")
+    voices = os.path.join(tmp, "voices")
+    os.makedirs(voices)
+    rng = np.random.default_rng(3)
+    # ~30 s voice -> the 640-latent bucket, matching the library stage
+    audio = (0.1 * rng.standard_normal((1, 640 * 2048))).astype(np.float32)
+    audio_io.write_wav(os.path.join(voices, "bench.wav"), audio, 44100)
+    cfg_srv = load_config({"AUDIO_VOICES_DIR": voices,
+                           "OUTPUT_AUDIO_DIR": os.path.join(tmp, "out"),
+                           "HF_TOKEN": "x"})
+    job = {"text": STREAM_TEXT, "stream": True,
+           "chunk_sizes": list(STREAM_BLOCKS), "seed": 0,
+           "speaker_voice": "bench.wav", "parameters": dict(sampler_kw)}
+    _serve_ttfa_once(models, job, cfg_srv)   # warm voice cache + programs
+    return 1e3 * float(np.median(
+        [_serve_ttfa_once(models, job, cfg_srv) for _ in range(n)]))
+
+
 BATCH_TEXTS = [
     "Request number %d reads a different sentence so the batch is not "
     "degenerate; the narrator keeps an even pace throughout." % i
@@ -234,9 +314,38 @@ def _batch_once(models, inp, sampler_kw):
     return time.perf_counter() - t0
 
 
+def _b8_chip(b8, models, inp, n=2):
+    """Chip-side wall time for one 8-request batch: B=8 prefill +
+    (3*8)-row sampler + 2x B=4 decode, each stage a scalar-checksum
+    program (no host text processing, no audio transfer over the
+    tunnel).  Returns (wall_s, latents) — stages timed back-to-back in
+    one region so inter-stage dispatch overlap is counted honestly."""
+    prefill_b8, sampler_b8, decode_b4 = b8
+    params = models.dit_params
+    text_ids = jnp.tile(inp["text_ids"], (8, 1))
+    text_mask = jnp.tile(inp["text_mask"], (8, 1))
+    spk_lat = jnp.tile(inp["speaker_latent"], (8, 1, 1))
+    spk_mask = jnp.tile(inp["speaker_mask"], (8, 1))
+    noise = jax.random.normal(jax.random.PRNGKey(7),
+                              (8, SEQ, spk_lat.shape[-1]), jnp.float32)
+
+    def once():
+        t0 = time.perf_counter()
+        kv, cols, chk = prefill_b8(params, text_ids, text_mask, spk_lat)
+        latents, chk_s = sampler_b8(params, kv, cols, text_mask, spk_mask,
+                                    noise)
+        c0 = decode_b4(models.dac_params, models.pca, latents[:4])
+        c1 = decode_b4(models.dac_params, models.pca, latents[4:])
+        np.asarray(chk), np.asarray(chk_s), np.asarray(c0), np.asarray(c1)
+        return time.perf_counter() - t0
+
+    once()                                    # compile + warmup
+    return float(np.median([once() for _ in range(n)]))
+
+
 def main():
     (gen, prefill, sampler_only, decode_only, params, dac_params, pca,
-     inp, models, sampler_kw) = build()
+     inp, models, sampler_kw, b8) = build()
 
     def full(seq):
         return gen(params, dac_params, pca, inp["text_ids"],
@@ -284,11 +393,21 @@ def main():
     streamed_rtf = stream_audio_s / float(
         np.median([r[1] for r in stream_runs]))
 
+    # serving-layer TTFA: the same streamed shape through
+    # serve/handler.iter_synthesize_stream (validation + cached voice
+    # latent + per-block WAV write + event emit)
+    ttfa_serve_ms = _serve_ttfa(models, sampler_kw)
+
     # batched throughput: 8 requests, one (G*8)-row sampler + B=8 decode
     _batch_once(models, inp, sampler_kw)           # compile + warmup
     batch_wall = float(np.median([_batch_once(models, inp, sampler_kw)
                                   for _ in range(2)]))
     throughput_rtf_b8 = 8 * AUDIO_SECONDS / batch_wall
+
+    # the same batch chip-side (scalar checksums; no tunnel audio
+    # transfer, no host text processing) — the production-relevant number
+    b8_wall = _b8_chip(b8, models, inp)
+    throughput_rtf_b8_chip = 8 * AUDIO_SECONDS / b8_wall
 
     print(json.dumps({
         "metric": "rtf_audio_sec_per_sec_per_chip",
@@ -300,8 +419,10 @@ def main():
         "decode_ms": round(decode_ms, 1),
         "p50_short_ms": round(p50_short_ms, 1),
         "ttfa_ms": round(ttfa_ms, 1),
+        "ttfa_serve_ms": round(ttfa_serve_ms, 1),
         "streamed_rtf": round(streamed_rtf, 3),
         "throughput_rtf_b8": round(throughput_rtf_b8, 3),
+        "throughput_rtf_b8_chip": round(throughput_rtf_b8_chip, 3),
     }))
 
 

@@ -50,6 +50,55 @@ MAX_TEXT_CHARS = 4000       # reference: handler.py:690-698
 SAMPLE_RATE = 44100
 SEED_STRIDE = 1000          # reference: handler.py:749
 
+# Voice-latent cache: encoding a reference voice costs 1-10 AE encodes
+# (one per 30 s chunk — seconds of device time for a 5-minute voice), but
+# serving traffic reuses a small library of voice files
+# (reference: handler.py:711-718 voices dir).  Cache the encoded
+# (latent, mask, bucket) per (path, mtime, size): repeat requests skip the
+# encode entirely.  ~2 MB per 6400-latent entry; LRU-bounded.
+import collections
+import threading
+
+VOICE_CACHE_MAX = 16
+_VOICE_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_VOICE_CACHE_LOCK = threading.Lock()
+
+
+def clear_voice_cache() -> None:
+    with _VOICE_CACHE_LOCK:
+        _VOICE_CACHE.clear()
+
+
+def get_voice_latent(models: EchoModels, path: str):
+    """(speaker_latent, speaker_mask, bucket) for a voice file, cached.
+    The latent is padded to its static speaker bucket
+    (serve/presets.py:pick_speaker_bucket) with the mask carrying the true
+    length, so cache entries feed every request path (one-shot, stream,
+    batch) without reshaping.  mtime+size key the entry: replacing the
+    file re-encodes."""
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size,
+           models_frame_length(models))
+    with _VOICE_CACHE_LOCK:
+        hit = _VOICE_CACHE.get(key)
+        if hit is not None:
+            _VOICE_CACHE.move_to_end(key)
+            return hit
+    audio = audio_io.load_audio(path)
+    from ..pipeline.pipeline import get_speaker_latent_and_mask
+    from .presets import pick_speaker_bucket
+    n_latents = audio.shape[-1] // models_frame_length(models)
+    bucket = pick_speaker_bucket(n_latents)
+    lat, mask = get_speaker_latent_and_mask(
+        models, audio, max_speaker_latent_length=bucket, pad_to_max=True)
+    with _VOICE_CACHE_LOCK:
+        _VOICE_CACHE[key] = (lat, mask, bucket)
+        while len(_VOICE_CACHE) > VOICE_CACHE_MAX:
+            _VOICE_CACHE.popitem(last=False)
+    log.info("voice cached: %s (bucket %d, %d entries)",
+             os.path.basename(path), bucket, len(_VOICE_CACHE))
+    return lat, mask, bucket
+
 
 def build_sample_fn(parameters: Optional[Dict] = None,
                     preset: Optional[str] = None):
@@ -155,18 +204,12 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
                 cfg.model_dir,
                 allow_random=bool(job_input.get("_allow_random")))
 
-    speaker_audio = None
-    speaker_bucket = None
+    voice_path = None
     voice_name = job_input.get("speaker_voice")
     if voice_name:
-        path = _resolve_voice(cfg, voice_name)
-        with timer.stage("voice_load"):
-            speaker_audio = audio_io.load_audio(path)
-        # Static-shape bucketing so one voice length compiles once
-        # (reference: gradio_app.py:128-155,229-247)
-        from .presets import pick_speaker_bucket
-        n_latents = speaker_audio.shape[-1] // models_frame_length(models)
-        speaker_bucket = pick_speaker_bucket(n_latents)
+        # existence/traversal checks fail fast; the (cached) encode runs
+        # after text chunking so bad text never pays an encode
+        voice_path = _resolve_voice(cfg, voice_name)
 
     from ..pipeline.text import chunk_text_for_audio
 
@@ -186,16 +229,16 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
 
     seed = int(job_input.get("seed", 0))
 
-    # Encode the voice ONCE for the whole request (it was re-encoded per
-    # chunk before — for a 5-minute reference that was seconds per chunk).
+    # Encode the voice ONCE for the whole request, through the process
+    # voice-latent cache (bucket-padded to a static shape,
+    # serve/presets.py) — repeat requests for a library voice skip the
+    # encode entirely.
     spk_latent = spk_mask = None
-    if speaker_audio is not None:
-        from ..pipeline.pipeline import get_speaker_latent_and_mask
+    speaker_bucket = None
+    if voice_path is not None:
         with timer.stage("voice_encode"):
-            spk_latent, spk_mask = get_speaker_latent_and_mask(
-                models, speaker_audio,
-                max_speaker_latent_length=speaker_bucket,
-                pad_to_max=True)
+            spk_latent, spk_mask, speaker_bucket = get_voice_latent(
+                models, voice_path)
 
     # Chunks run SEQUENTIALLY through the warm B=1 sampler program (the
     # repo's static-shape discipline: one compiled shape per bucket).
@@ -359,16 +402,13 @@ def iter_synthesize_stream(job_input: Dict,
         models = models_mod.load_models(
             cfg.model_dir, allow_random=bool(job_input.get("_allow_random")))
 
-    speaker_audio = None
-    speaker_bucket = None
+    spk_latent = spk_mask = None
     voice_name = job_input.get("speaker_voice")
     if voice_name:
-        speaker_audio = audio_io.load_audio(_resolve_voice(cfg, voice_name))
-        # same static-shape bucketing as the batch path — unbucketed voice
-        # lengths would compile a fresh prefill + block program per length
-        from .presets import pick_speaker_bucket
-        n_latents = speaker_audio.shape[-1] // models_frame_length(models)
-        speaker_bucket = pick_speaker_bucket(n_latents)
+        # cached + bucket-padded (same static-shape discipline as the
+        # batch path; repeat streams of a library voice skip the encode)
+        spk_latent, spk_mask, _ = get_voice_latent(
+            models, _resolve_voice(cfg, voice_name))
 
     out_dir = (os.path.join(cfg.output_dir, session_id) if session_id
                else cfg.output_dir)
@@ -377,10 +417,11 @@ def iter_synthesize_stream(job_input: Dict,
     blocks = []
     pieces = []
     for chunk in stream_synthesize(
-            models, text, speaker_audio, chunk_size=chunk_size,
+            models, text, None, chunk_size=chunk_size,
             num_chunks=num_chunks, chunk_sizes=chunk_sizes,
             seed=int(job_input.get("seed", 0)),
-            sampler_params=params, speaker_bucket=speaker_bucket):
+            sampler_params=params, speaker_latent=spk_latent,
+            speaker_mask=spk_mask):
         path = os.path.join(
             out_dir, f"{request_id}_block{chunk.index:03d}.wav")
         audio_io.write_wav(path, chunk.audio, SAMPLE_RATE)

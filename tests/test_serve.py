@@ -175,6 +175,62 @@ def test_chunked_request_encodes_voice_once(models, cfg, monkeypatch):
     np.testing.assert_allclose(via_latent, direct, atol=2e-5)
 
 
+def test_voice_latent_cache(models, cfg, monkeypatch):
+    """Repeat requests for one voice file AE-encode it once (the
+    process voice-latent cache); mtime change invalidates; cached and
+    fresh encodes produce byte-identical audio."""
+    import shutil
+
+    import echo_tts_tpu.pipeline.pipeline as pl
+
+    h.clear_voice_cache()
+    fixture = os.path.join(os.path.dirname(__file__), "data", "voice.wav")
+    path = os.path.join(cfg.voices_dir, "c.wav")
+    shutil.copy(fixture, path)
+
+    calls = []
+    real = pl.get_speaker_latent_and_mask
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pl, "get_speaker_latent_and_mask", spy)
+
+    job = {"text": "Cache test.", "parameters": _fast_params(), "seed": 9,
+           "speaker_voice": "c.wav"}
+    out1 = h.synthesize(dict(job), cfg=cfg, models=models)
+    assert out1["status"] == "success", out1
+    out2 = h.synthesize(dict(job), cfg=cfg, models=models)
+    assert len(calls) == 1  # second request hit the cache
+
+    # the streaming path shares the same cache
+    monkeypatch.setattr(h, "STREAM_CHUNK_SIZES", (4,))
+    s = h.synthesize_stream(
+        {"text": "Stream cache.", "num_chunks": 1, "chunk_size": 4,
+         "parameters": {"num_steps": 2}, "speaker_voice": "c.wav"},
+        cfg=cfg, models=models)
+    assert s["status"] == "success", s
+    assert len(calls) == 1
+
+    # cached entry must be indistinguishable from a fresh encode
+    with open(out1["local_path"], "rb") as f:
+        wav1 = f.read()
+    with open(out2["local_path"], "rb") as f:
+        assert f.read() == wav1
+    h.clear_voice_cache()
+    out3 = h.synthesize(dict(job), cfg=cfg, models=models)
+    assert len(calls) == 2
+    with open(out3["local_path"], "rb") as f:
+        assert f.read() == wav1
+
+    # touching the file invalidates (mtime_ns keys the entry)
+    st = os.stat(path)
+    os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    h.synthesize(dict(job), cfg=cfg, models=models)
+    assert len(calls) == 3
+
+
 def test_handler_generator_error_envelope(monkeypatch, cfg):
     monkeypatch.setattr(h, "load_config", lambda *a, **k: cfg)
     events = list(h.handler_generator(
