@@ -35,9 +35,10 @@ from ..sampler.blockwise import iter_blockwise_euler_cfg_independent_guidances
 
 # Stream length (latents) past which the incremental latent-prefix KV
 # (O(block) appends) beats the reference-semantics full re-encode
-# (O(total) per block): ~2 minutes of audio.  Below it the append
-# program's fixed per-block cost loses (measured on a v5e; see
-# docs/PERFORMANCE.md §9).
+# (O(total) per block): ~2 minutes of audio.  Measured on the v5e
+# (examples/bench_incremental_crossover.py): loses 3% at 1240,
+# break-even at 2560, wins 1.6%/1.1% at 3840/5120 — the crossover is a
+# measurement, not an estimate (docs/PERFORMANCE.md §9 table).
 INCREMENTAL_LATENT_MIN_TOTAL = 2560
 
 
@@ -130,7 +131,8 @@ def stream_synthesize(
     # program carries a fixed per-block cost that measured NET-SLOWER at
     # bench scale (1240 latents: streamed RTF 18.8 -> 18.2 on a v5e) —
     # only multi-minute streams, where the quadratic re-encode dominates,
-    # come out ahead.  Engage it past that crossover.
+    # come out ahead (measured +1.6% at 3840).  Engage it past the
+    # measured crossover.
     use_inc = (total >= INCREMENTAL_LATENT_MIN_TOTAL
                and all(c % ps == 0 for c in chunk_sizes)
                and (continuation_latent is None
