@@ -6,6 +6,15 @@ sampler already shards batch and heads; this module shards the PREFILL's
 patch axis over `model`, so very long references prefill in ~1/tp the
 time per chip (SURVEY §2e's optional SP/CP row).
 
+Engage decision, backed by on-chip numbers (docs/PERFORMANCE.md §10,
+examples/bench_long_reference.py): single-chip speaker prefill measures
+36.0 / 45.8 / 53.2 ms at the 640 / 2816 / 6400 buckets — the causal
+encoder is matmul-bound, not quadratic-bound, at serving widths, so SP
+has at most ~40 ms to win per request and is NOT engaged by the serving
+path on one chip.  It exists for the multi-chip regime: sharded-training
+prefill towers and references far beyond the 6400 bucket, where the
+O(N²/tp) attention term finally dominates.
+
 Design note — gathered-KV sequence parallelism, not a ring: each layer
 all-gathers K/V and computes only the local queries' attention.  At the
 published widths a full layer's K/V is ~16 MB (1600×1280×2×f32·?), so a
