@@ -75,9 +75,12 @@ def get_voice_latent(models: EchoModels, path: str):
     (serve/presets.py:pick_speaker_bucket) with the mask carrying the true
     length, so cache entries feed every request path (one-shot, stream,
     batch) without reshaping.  mtime+size key the entry: replacing the
-    file re-encodes."""
+    file re-encodes.  The MODEL bundle's identity is part of the key —
+    latents are only valid for the encoder that produced them — and
+    models.clear_models() clears this cache too (id() values may be
+    reused after a bundle is garbage-collected)."""
     st = os.stat(path)
-    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size,
+    key = (id(models), os.path.abspath(path), st.st_mtime_ns, st.st_size,
            models_frame_length(models))
     with _VOICE_CACHE_LOCK:
         hit = _VOICE_CACHE.get(key)
@@ -483,18 +486,21 @@ def synthesize_stream(job_input: Dict, cfg: Optional[ServeConfig] = None,
     return final
 
 
-def handler(job: Dict, on_block=None, batch_server=None) -> Dict:
+def handler(job: Dict, on_block=None, batch_server=None,
+            cfg: Optional[ServeConfig] = None) -> Dict:
     """Queue-worker entry point (reference: handler.py:806-816).
     `batch_server` routes synthesis jobs through the shared
     micro-batching executor (see synthesize); streaming jobs always run
-    serially — their latency contract is per-block, not per-request."""
+    serially — their latency contract is per-block, not per-request.
+    `cfg` (optional) avoids re-reading the environment per job — the
+    concurrent intake loop passes its own config through."""
     try:
         job_input = job.get("input") or {}
         if job_input.get("action") == "health_check":
             return health_check()
         if job_input.get("stream"):
-            return synthesize_stream(job_input, on_block=on_block)
-        return synthesize(job_input, batch_server=batch_server)
+            return synthesize_stream(job_input, cfg=cfg, on_block=on_block)
+        return synthesize(job_input, cfg=cfg, batch_server=batch_server)
     except Exception as exc:
         return {
             "error": str(exc),
@@ -562,6 +568,19 @@ def warmup_compile(models: EchoModels,
                         np.float32)
 
     t_all = time.time()
+    # Voice AE-encode program: every manifest entry passes a pre-made
+    # latent, but a real `speaker_voice` request encodes the reference
+    # through get_speaker_latent_and_mask — ONE static 30 s-chunk encode
+    # program shared by all buckets (pipeline.py). Warm it here or the
+    # first voiced request pays the codec-encoder compile.
+    from ..pipeline.pipeline import get_speaker_latent_and_mask
+    from .presets import pick_speaker_bucket
+    spl = models.dac_cfg.frame_length
+    get_speaker_latent_and_mask(
+        models, np.zeros((1, 640 * spl), np.float32),
+        max_speaker_latent_length=pick_speaker_bucket(640),
+        pad_to_max=True)
+    log.info("warmup voice-encode program: %.1fs", time.time() - t_all)
     for i, e in enumerate(manifest):
         t0 = time.time()
         s = e.get("speaker_bucket")
@@ -647,10 +666,11 @@ def serve_stdin_concurrent(cfg: ServeConfig, *, max_batch: int,
                 job = line
             job_input = job.get("input") or {}
             if job_input.get("stream"):
-                emit(handler(job, on_block=emit))
+                emit(handler(job, on_block=emit, cfg=cfg))
             else:
                 pending.append(pool.submit(
-                    lambda j=job: emit(handler(j, batch_server=server))))
+                    lambda j=job: emit(handler(j, batch_server=server,
+                                               cfg=cfg))))
         for f in pending:
             f.result()
     finally:
@@ -704,10 +724,14 @@ def main(argv: Optional[List[str]] = None) -> None:
         models = models_mod.load_models(
             cfg.model_dir, allow_random=args.allow_random_weights)
         if args.warmup_compile or args.warmup_full:
+            # warm every batch bucket the server can pad a group to —
+            # the server never runs any other batch size
+            # (serve/server.py padding, presets.batch_size_buckets)
+            from .presets import batch_size_buckets
             warmup_compile(
                 models, full=args.warmup_full,
-                batch_sizes=((args.concurrent,) if args.concurrent > 0
-                             else ()))
+                batch_sizes=(batch_size_buckets(args.concurrent)
+                             if args.concurrent > 0 else ()))
         log.info("warmup complete")
         return
 

@@ -149,3 +149,8 @@ def clear_models() -> None:
     with _CACHE_LOCK:
         _MODELS = None
         _MODELS_KEY = None
+    # Voice latents are only valid for the encoder that produced them;
+    # a freed bundle's id() can also be reused by a future bundle, so the
+    # voice cache must not outlive the models singleton.
+    from . import handler as _handler
+    _handler.clear_voice_cache()

@@ -133,13 +133,20 @@ def _parse_buckets(values_str: str):
     return [int(v.strip()) for v in values_str.split(",") if v.strip()]
 
 
-def _later_cover_schedule(tb: int, buckets: str = STREAM_TOTAL_BUCKETS):
+def _later_cover_schedule(tb: int, buckets: str = STREAM_TOTAL_BUCKETS,
+                          min_total: int = 0):
     """A valid stream schedule whose total lands in bucket `tb` and that
     contains every STREAM_CHUNK_SIZES entry reachable as a NON-first
     block within the bucket — warming, in one stream, every
     (total-bucket, later-block-size) program the bucket can serve.
     Sizes whose inclusion would overflow the bucket (e.g. a later-320 in
-    the 320 bucket) are genuinely unreachable in traffic and skipped."""
+    the 320 bucket) are genuinely unreachable in traffic and skipped.
+
+    min_total > 0 additionally tops the schedule up to at least that
+    total (still within the bucket) — used to build a schedule that
+    crosses INCREMENTAL_LATENT_MIN_TOTAL so the incremental-KV programs
+    of the threshold bucket get warmed too (serve/streaming.py keys its
+    block programs on the re-encode/incremental choice)."""
     totals = _parse_buckets(buckets)
     prev = max([t for t in totals if t < tb], default=0)
     sched = [min(STREAM_CHUNK_SIZES)]
@@ -150,10 +157,15 @@ def _later_cover_schedule(tb: int, buckets: str = STREAM_TOTAL_BUCKETS):
     while (sum(sched) <= prev and sum(sched) + biggest <= tb
            and len(sched) < MAX_STREAM_CHUNKS):
         sched.append(biggest)
-    if sum(sched) <= prev:
+    for c in sorted(STREAM_CHUNK_SIZES, reverse=True):
+        while (sum(sched) < min_total and sum(sched) + c <= tb
+               and len(sched) < MAX_STREAM_CHUNKS):
+            sched.append(c)
+    if sum(sched) <= prev or sum(sched) < min_total:
         raise ValueError(
             f"cannot build a schedule landing in total bucket {tb} "
-            f"within MAX_STREAM_CHUNKS={MAX_STREAM_CHUNKS}")
+            f"(>= {min_total}) within MAX_STREAM_CHUNKS="
+            f"{MAX_STREAM_CHUNKS}")
     return sched
 
 
@@ -179,10 +191,21 @@ def warmup_manifest(batch_sizes=(), *, full: bool = False,
     cache (one full-size XLA compile per program) but it is one-time per
     cache volume.
     """
-    from ..config import SAMPLER_DEFAULTS
+    from ..config import MAX_TEXT_LENGTH, SAMPLER_DEFAULTS
     seq_default = (default_sequence_length
                    or SAMPLER_DEFAULTS["sequence_length"])
+    # Every request path pads text to MAX_TEXT_LENGTH (pipeline.py /
+    # streaming.py call get_text_input_ids_and_mask with that max), so
+    # there is exactly ONE compiled text width.  Guard the constant pair
+    # loudly: a second TEXT_BUCKETS value would need its own warm entries
+    # AND a request path that actually buckets text — neither exists.
     text_buckets = _parse_buckets(TEXT_BUCKETS)
+    if text_buckets != [MAX_TEXT_LENGTH]:
+        raise AssertionError(
+            f"TEXT_BUCKETS {text_buckets} != [MAX_TEXT_LENGTH "
+            f"{MAX_TEXT_LENGTH}]: request paths pad text to "
+            "MAX_TEXT_LENGTH only — adding a text bucket requires "
+            "bucketing the request paths and extending warmup_manifest")
     speaker_all = [None] + _parse_buckets(SPEAKER_BUCKETS)
     seq_all = sorted(set(_parse_buckets(SEQUENCE_BUCKETS)) | {seq_default})
     totals = _parse_buckets(STREAM_TOTAL_BUCKETS)
@@ -212,11 +235,23 @@ def warmup_manifest(batch_sizes=(), *, full: bool = False,
         # unreachable as later blocks within the bucket), plus one
         # single-block stream per remaining size for the first-block
         # programs.
+        # Block programs are ALSO keyed on the re-encode vs incremental-KV
+        # choice (serve/streaming.py engages incremental past
+        # INCREMENTAL_LATENT_MIN_TOTAL).  Buckets whose cover schedule
+        # lands below the threshold but that contain >= threshold totals
+        # (the threshold bucket itself) get a second, topped-up schedule
+        # so BOTH paths' programs are warm.  Lazy import: streaming
+        # imports this module at load time.
+        from .streaming import INCREMENTAL_LATENT_MIN_TOTAL as _inc_min
         for s in speakers:
             for c in sizes[1:]:
                 entries.append(stream_entry(s, [c]))
             for tb in totals:
                 entries.append(stream_entry(s, _later_cover_schedule(tb)))
+                if (tb >= _inc_min
+                        and sum(_later_cover_schedule(tb)) < _inc_min):
+                    entries.append(stream_entry(
+                        s, _later_cover_schedule(tb, min_total=_inc_min)))
     else:
         for s in speakers:
             entries.append(stream_entry(s, [160] * 4))   # default schedule
@@ -232,3 +267,28 @@ def warmup_manifest(batch_sizes=(), *, full: bool = False,
 def pick_speaker_bucket(actual_latents: int,
                         buckets: str = SPEAKER_BUCKETS) -> int:
     return find_min_bucket_gte(buckets, actual_latents)
+
+
+def batch_size_buckets(max_batch: int):
+    """Batch sizes the micro-batch server pads its groups to: powers of
+    two up to max_batch, plus max_batch itself.  Every distinct batch
+    size compiles its own full-size (G*B)-row sampler program, and the
+    server's drain window can gather ANY count 1..max_batch — padding to
+    this bounded set keeps the compile surface at O(log max_batch)
+    programs instead of one per arrival count (serve/server.py)."""
+    if max_batch < 1:
+        raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+    out = {max_batch}
+    b = 1
+    while b < max_batch:
+        out.add(b)
+        b *= 2
+    return tuple(sorted(out))
+
+
+def pick_batch_bucket(n: int, max_batch: int) -> int:
+    """Smallest warmed batch size >= n (n in 1..max_batch)."""
+    for b in batch_size_buckets(max_batch):
+        if b >= n:
+            return b
+    raise ValueError(f"batch of {n} exceeds max_batch {max_batch}")

@@ -16,8 +16,13 @@ Honest economics on this model (docs/PERFORMANCE.md §7): the B=1
 sampler already runs ~94% MFU, so batching is roughly THROUGHPUT-NEUTRAL
 on-chip — its value here is bounded HBM, per-dispatch amortization, and
 fairness under concurrency, not a large audio-sec/sec multiplier.  Each
-distinct batch size B compiles its own full-size program; keep max_batch
-at one value (and warm it) rather than letting B float across requests.
+distinct batch size B compiles its own full-size program, and the drain
+window can gather ANY count 1..max_batch — so groups are PADDED (last
+request repeated, padded outputs discarded) to the bounded bucket set
+presets.batch_size_buckets(max_batch), which is also exactly what
+--warmup-compile warms.  No arrival count pays a compile at traffic
+time; padding costs at most one bucket step of throughput on a
+~throughput-neutral operation.
 """
 from __future__ import annotations
 
@@ -28,6 +33,7 @@ from typing import Dict, List, Optional, Tuple
 
 from ..pipeline.pipeline import EchoModels
 from .batcher import BatchRequest, BatchResult, group_compatible, run_batch
+from .presets import pick_batch_bucket
 
 
 class MicroBatchServer:
@@ -96,8 +102,15 @@ class MicroBatchServer:
                 params = items[idx_group[0]][1]
                 futs = [items[i][2] for i in idx_group]
                 try:
-                    results = run_batch(self.models, reqs, params,
-                                        speaker_bucket=self.speaker_bucket)
+                    # pad to a warmed batch bucket (see module docstring);
+                    # padded rows repeat the last request and their
+                    # outputs are discarded — per-row seeds keep every
+                    # real request's audio identical to the serial path
+                    bucket = pick_batch_bucket(len(reqs), self.max_batch)
+                    padded = reqs + [reqs[-1]] * (bucket - len(reqs))
+                    results = run_batch(
+                        self.models, padded, params,
+                        speaker_bucket=self.speaker_bucket)[:len(reqs)]
                     for fut, res in zip(futs, results):
                         fut.set_result(res)
                 except Exception as exc:

@@ -42,7 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import EchoDiTConfig
 from ..models import dit
 from ..parallel import mesh as pmesh
-from ..sampler.euler import INIT_SCALE
+from ..sampler.euler import INIT_SCALE, make_cfg_branch_masks
 from .step import TrainState, create_train_state
 
 
@@ -108,14 +108,11 @@ def distill_loss(
         dit.get_kv_cache_speaker(student_params, cfg,
                                  batch["speaker_latent"].astype(dtype)))
 
-    text_mask, speaker_mask = batch["text_mask"], batch["speaker_mask"]
-    zero_t = jnp.zeros_like(text_mask)
-    zero_s = jnp.zeros_like(speaker_mask)
-    mask_plain = dit.static_attention_mask(cfg, text_mask, speaker_mask)
-    mask_cfg = dit.static_attention_mask(
-        cfg,
-        jnp.concatenate([text_mask, zero_t, text_mask], axis=0),
-        jnp.concatenate([speaker_mask, speaker_mask, zero_s], axis=0))
+    # the sampler's own mask construction — branch order [cond,
+    # uncond_text, uncond_speaker] can never diverge between teacher
+    # rollout and production sampling
+    mask_cfg, mask_plain = make_cfg_branch_masks(
+        cfg, batch["text_mask"], batch["speaker_mask"])
 
     s_text = np.float32(cfg_scale_text)
     s_spk = np.float32(cfg_scale_speaker)

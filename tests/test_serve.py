@@ -231,6 +231,48 @@ def test_voice_latent_cache(models, cfg, monkeypatch):
     assert len(calls) == 3
 
 
+def test_voice_cache_keyed_on_model_bundle(models, cfg, monkeypatch):
+    """Latents are only valid for the encoder that produced them: a
+    different models bundle misses the cache, and clear_models() clears
+    the voice cache (id() values can be reused after GC)."""
+    import shutil
+
+    import echo_tts_tpu.pipeline.pipeline as pl
+    from echo_tts_tpu.pipeline.pipeline import EchoModels
+    from echo_tts_tpu.serve import models as models_mod
+
+    h.clear_voice_cache()
+    fixture = os.path.join(os.path.dirname(__file__), "data", "voice.wav")
+    path = os.path.join(cfg.voices_dir, "ident.wav")
+    shutil.copy(fixture, path)
+
+    calls = []
+    real = pl.get_speaker_latent_and_mask
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pl, "get_speaker_latent_and_mask", spy)
+
+    h.get_voice_latent(models, path)
+    h.get_voice_latent(models, path)
+    assert len(calls) == 1                      # same bundle: cache hit
+
+    models2 = EchoModels(models.dit_params, models.dit_cfg,
+                         models.dac_params, models.dac_cfg, models.pca,
+                         dtype=models.dtype)
+    h.get_voice_latent(models2, path)
+    assert len(calls) == 2                      # new bundle: re-encode
+
+    h.get_voice_latent(models, path)
+    assert len(calls) == 2                      # original entry intact
+    models_mod.clear_models()
+    h.get_voice_latent(models, path)
+    assert len(calls) == 3                      # clear_models cleared it
+    h.clear_voice_cache()
+
+
 def test_handler_generator_error_envelope(monkeypatch, cfg):
     monkeypatch.setattr(h, "load_config", lambda *a, **k: cfg)
     events = list(h.handler_generator(

@@ -57,6 +57,35 @@ def test_submission_from_many_threads(server):
     assert sorted(results) == list(range(6))
 
 
+def test_odd_group_padded_to_warmed_bucket(server, tiny_models,
+                                           monkeypatch):
+    """Groups are padded to presets.batch_size_buckets sizes — the only
+    batch programs warmup compiles — and padding never changes a real
+    request's result (padded rows are discarded)."""
+    from echo_tts_tpu.serve import server as srv_mod
+    from echo_tts_tpu.serve.batcher import run_batch
+
+    sizes = []
+    real = srv_mod.run_batch
+
+    def spy(models, reqs, *a, **kw):
+        sizes.append(len(reqs))
+        return real(models, reqs, *a, **kw)
+
+    monkeypatch.setattr(srv_mod, "run_batch", spy)
+    reqs = [BatchRequest(f"Odd request {i}.", seed=50 + i,
+                         request_id=str(i)) for i in range(3)]
+    futs = [server.submit(r, FAST) for r in reqs]
+    results = [f.result(timeout=300) for f in futs]
+
+    # max_batch=4 -> every executed batch size is a warmed bucket
+    assert sizes and all(s in (1, 2, 4) for s in sizes), sizes
+    singles = [run_batch(tiny_models, [r], dict(FAST))[0] for r in reqs]
+    for got, want in zip(results, singles):
+        assert got.request_id == want.request_id
+        np.testing.assert_allclose(got.audio, want.audio, atol=2e-4)
+
+
 def test_error_propagates_to_future(server):
     bad = BatchRequest("x", seed=0)
     fut = server.submit(bad, {"num_steps": 2, "sequence_length": 8,

@@ -119,6 +119,49 @@ def test_full_manifest_batch_entries():
         (b, s) for b in (4, 8) for s in speaker_buckets}
 
 
+def test_full_manifest_covers_incremental_kv_paths():
+    """Stream block programs are keyed on the re-encode vs incremental-KV
+    choice (streaming.py engages incremental at totals >=
+    INCREMENTAL_LATENT_MIN_TOTAL): buckets serving incremental totals
+    need an entry crossing the threshold, buckets serving re-encode
+    totals need one below it."""
+    from echo_tts_tpu.serve.streaming import INCREMENTAL_LATENT_MIN_TOTAL
+    m = P.warmup_manifest(full=True)
+    totals = P._parse_buckets(P.STREAM_TOTAL_BUCKETS)
+    speakers = [None] + P._parse_buckets(P.SPEAKER_BUCKETS)
+    for s in speakers:
+        streams = [e for e in _stream_entries(m)
+                   if e["speaker_bucket"] == s]
+        for i, tb in enumerate(totals):
+            prev = totals[i - 1] if i else 0
+            if tb >= INCREMENTAL_LATENT_MIN_TOTAL:
+                assert any(e["total_bucket"] == tb
+                           and sum(e["chunk_sizes"])
+                           >= INCREMENTAL_LATENT_MIN_TOTAL
+                           for e in streams), (s, tb)
+            if prev < INCREMENTAL_LATENT_MIN_TOTAL:
+                assert any(e["total_bucket"] == tb
+                           and sum(e["chunk_sizes"])
+                           < INCREMENTAL_LATENT_MIN_TOTAL
+                           for e in streams), (s, tb)
+
+
+def test_batch_size_buckets():
+    """The micro-batch server pads groups to these sizes and warmup warms
+    exactly them — the pair is what keeps arrival counts off the compile
+    path (serve/server.py)."""
+    assert P.batch_size_buckets(8) == (1, 2, 4, 8)
+    assert P.batch_size_buckets(6) == (1, 2, 4, 6)
+    assert P.batch_size_buckets(1) == (1,)
+    assert P.pick_batch_bucket(3, 8) == 4
+    assert P.pick_batch_bucket(5, 6) == 6
+    assert P.pick_batch_bucket(8, 8) == 8
+    with pytest.raises(ValueError):
+        P.pick_batch_bucket(9, 8)
+    with pytest.raises(ValueError):
+        P.batch_size_buckets(0)
+
+
 def test_manifest_respects_default_sequence_override():
     m = P.warmup_manifest(default_sequence_length=320)
     assert {e["sequence_length"] for e in m
