@@ -62,6 +62,7 @@ from ..ops.pallas.joint_attention import (
     fused_joint_attention_sharded,
     shardable,
 )
+from ..ops.quant import qdot
 from ..ops.rope import (
     apply_rotary_emb,
     apply_rotary_emb_half_heads,
@@ -85,8 +86,11 @@ def _freqs(head_dim: int, end: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _mlp(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """SwiGLU MLP (reference: model.py:296-308)."""
-    return (jax.nn.silu(x @ p["w1"]) * (x @ p["w3"])) @ p["w2"]
+    """SwiGLU MLP (reference: model.py:296-308).
+
+    `qdot` is `@` for plain bf16 kernels and the int8 MXU path when the
+    parameter tree was quantized (ops/quant.py, opt-in serving mode)."""
+    return qdot(jax.nn.silu(qdot(x, p["w1"])) * qdot(x, p["w3"]), p["w2"])
 
 
 def _self_attention(
@@ -498,10 +502,10 @@ def _joint_attention(
     dh = d // num_heads
     scale = 1.0 / (dh ** 0.5)
 
-    q = (x @ p["wq"]).reshape(gb, s, num_heads, dh)
-    k_self = (x @ p["wk"]).reshape(gb, s, num_heads, dh)
-    v_self = (x @ p["wv"]).reshape(gb, s, num_heads, dh)
-    gate = x @ p["gate"]
+    q = qdot(x, p["wq"]).reshape(gb, s, num_heads, dh)
+    k_self = qdot(x, p["wk"]).reshape(gb, s, num_heads, dh)
+    v_self = qdot(x, p["wv"]).reshape(gb, s, num_heads, dh)
+    gate = qdot(x, p["gate"])
 
     q = rms_norm(q, p["q_norm"], eps)
     k_self = rms_norm(k_self, p["k_norm"], eps)
@@ -532,7 +536,7 @@ def _joint_attention(
                 sm_scale=scale, interpret=interp)
         out = out.reshape(gb, s, d)
         out = out * jax.nn.sigmoid(gate)
-        return out @ p["wo"]
+        return qdot(out, p["wo"])
 
     qg = q.reshape(g, b, s, num_heads, dh)
 
@@ -586,7 +590,7 @@ def _joint_attention(
 
     out = out.reshape(gb, s, d)
     out = out * jax.nn.sigmoid(gate)
-    return out @ p["wo"]
+    return qdot(out, p["wo"])
 
 
 def _joint_attention_static(
@@ -614,10 +618,10 @@ def _joint_attention_static(
     dh = d // num_heads
     scale = 1.0 / (dh ** 0.5)
 
-    q = (x @ p["wq"]).reshape(gb, s, num_heads, dh)
-    k_self = (x @ p["wk"]).reshape(gb, s, num_heads, dh)
-    v_self = (x @ p["wv"]).reshape(gb, s, num_heads, dh)
-    gate = x @ p["gate"]
+    q = qdot(x, p["wq"]).reshape(gb, s, num_heads, dh)
+    k_self = qdot(x, p["wk"]).reshape(gb, s, num_heads, dh)
+    v_self = qdot(x, p["wv"]).reshape(gb, s, num_heads, dh)
+    gate = qdot(x, p["gate"])
 
     q = rms_norm(q, p["q_norm"], eps)
     k_self = rms_norm(k_self, p["k_norm"], eps)
@@ -635,7 +639,7 @@ def _joint_attention_static(
                 q, k_self, v_self, k_static, v_static, static_mask,
                 col_scale, sm_scale=scale, interpret=interp)
         out = out.reshape(gb, s, d)
-        return (out * jax.nn.sigmoid(gate)) @ p["wo"]
+        return qdot(out * jax.nn.sigmoid(gate), p["wo"])
 
     qg = q.reshape(g, b, s, num_heads, dh)
     logits_self = jnp.einsum(
@@ -656,7 +660,7 @@ def _joint_attention_static(
                      v_self.reshape(g, b, s, num_heads, dh))
     out = out + jnp.einsum("gbhst,bthd->gbshd", w_st, v_static)
     out = out.reshape(gb, s, d)
-    return (out * jax.nn.sigmoid(gate)) @ p["wo"]
+    return qdot(out * jax.nn.sigmoid(gate), p["wo"])
 
 
 def dit_forward_static(

@@ -1,0 +1,137 @@
+"""Int8 quantized matmuls for the DiT hot loop (opt-in serving mode).
+
+The v5e MXU executes int8xint8->int32 at ~2x its bf16 FLOP rate, and the
+denoise loop is compute-closed at ~94% bf16 MFU (docs/PERFORMANCE.md) --
+so int8 is the one remaining on-hardware throughput lever that does not
+change the sampler's semantics or step count.  The reference has no
+quantization support (its production dtype is bf16, handler.py:345);
+like the polynomial snake and the few-step recipe, this is a TPU-native,
+clearly-labeled NON-PARITY serving mode, default OFF.
+
+Recipe (standard W8A8 dynamic quantization):
+  * weights: symmetric per-output-channel int8, quantized once offline
+    (`quantize_weight_int8`); scales kept in float32.
+  * activations: symmetric per-row (per-token) dynamic int8, computed
+    inside the compiled program (`int8_dot`); the abs-max reduce and the
+    rescale are VPU work that XLA fuses around the MXU call.
+  * accumulation: int32 (exact -- max |acc| = 127*127*K fits int32 for
+    any K < 2^17; the DiT's largest contraction is K=5888).
+
+Only the scanned per-layer projection/MLP weights are quantized (where
+the FLOPs are); norms, AdaLN, embeddings, logit math and the attention
+contractions stay in bf16/f32.  `qdot` dispatches on the weight leaf
+type so the forward code has a single code path for both modes.
+"""
+from __future__ import annotations
+
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+# Weight leaves quantized by quantize_weight_int8 become dicts with these
+# keys; qdot / is_quantized dispatch on Q8_KEY.
+Q8_KEY = "q8"
+SCALE_KEY = "s"
+
+QuantizedWeight = dict
+
+
+def is_quantized(w) -> bool:
+    return isinstance(w, dict) and Q8_KEY in w
+
+
+def quantize_weight_int8(w: jnp.ndarray) -> QuantizedWeight:
+    """Symmetric per-output-channel int8 quantization of a weight matrix.
+
+    w: (..., K, N) -- plain (K, N) or scan-stacked (L, K, N).  The scale
+    is the per-column abs-max over K (axis -2), so each output channel
+    uses the full [-127, 127] range.  Returns {"q8": int8 (..., K, N),
+    "s": float32 (..., N)}.
+    """
+    wf = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2)                 # (..., N)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -127, 127)
+    return {Q8_KEY: q.astype(jnp.int8), SCALE_KEY: scale.astype(jnp.float32)}
+
+
+def dequantize_weight(qw: QuantizedWeight, dtype=jnp.float32) -> jnp.ndarray:
+    """Inverse of quantize_weight_int8 (up to rounding)."""
+    return (qw[Q8_KEY].astype(jnp.float32)
+            * qw[SCALE_KEY][..., None, :]).astype(dtype)
+
+
+def int8_dot(x: jnp.ndarray, w8: jnp.ndarray, w_scale: jnp.ndarray,
+             out_dtype=None) -> jnp.ndarray:
+    """x @ dequant(w8) with dynamic per-row int8 activation quantization.
+
+    x: (..., K) float; w8: (K, N) int8; w_scale: (N,) float32.
+    The int8xint8 contraction accumulates in int32 on the MXU; the two
+    scale multiplies run fused on the VPU.
+    """
+    if out_dtype is None:
+        out_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)   # (..., 1)
+    x_scale = jnp.maximum(amax, 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w8,
+        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * x_scale * w_scale).astype(out_dtype)
+
+
+def qdot(x: jnp.ndarray, w: Union[jnp.ndarray, QuantizedWeight]
+         ) -> jnp.ndarray:
+    """`x @ w` that transparently takes the int8 path for quantized leaves.
+
+    This is the single matmul entry the DiT block body uses; whether a
+    model runs bf16 or W8A8 is decided entirely by the parameter tree
+    (see quantize_dit_params), never by a flag threaded through the
+    forward code.
+    """
+    if is_quantized(w):
+        return int8_dot(x, w[Q8_KEY], w[SCALE_KEY])
+    return x @ w
+
+
+# ---------------------------------------------------------------------------
+# Parameter-tree transforms
+# ---------------------------------------------------------------------------
+
+# The hot-loop weights: every one of these is applied to (G*B, S, .) rows
+# on every one of the sampler's denoise steps.  Static-KV projections
+# (wk_text/wv_text/...), encoders, AdaLN, in/out projections run once per
+# request (prefill) or are rank-reduced -- quantizing them buys nothing
+# measurable and widens the error surface, so they stay bf16.
+DIT_BLOCK_QUANT_KEYS = (
+    ("attn", "wq"), ("attn", "wk"), ("attn", "wv"),
+    ("attn", "gate"), ("attn", "wo"),
+    ("mlp", "w1"), ("mlp", "w2"), ("mlp", "w3"),
+)
+
+
+def quantize_dit_params(params: dict) -> dict:
+    """Return a copy of a DiT parameter tree with the scanned per-layer
+    projection/MLP weights replaced by int8 QuantizedWeight leaves.
+
+    Everything else (encoders, static-KV projections, AdaLN, norms,
+    in/out projections, cond MLP) is shared by reference, unchanged.
+    Idempotent: already-quantized leaves are left alone.
+    """
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    for group in dict.fromkeys(g for g, _ in DIT_BLOCK_QUANT_KEYS):
+        blocks[group] = dict(blocks[group])
+    for group, key in DIT_BLOCK_QUANT_KEYS:
+        leaf = blocks[group][key]
+        if not is_quantized(leaf):
+            blocks[group][key] = quantize_weight_int8(leaf)
+    out["blocks"] = blocks
+    return out
+
+
+def dit_params_are_quantized(params: dict) -> bool:
+    return is_quantized(params["blocks"]["mlp"]["w2"])

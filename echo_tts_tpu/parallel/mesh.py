@@ -151,9 +151,31 @@ def _divisible_spec(leaf, spec: P, mesh: Mesh) -> P:
 
 def shard_params(params: dict, mesh: Mesh, blockwise: bool = True) -> dict:
     """Place a parameter pytree onto the mesh with TP sharding; axes that
-    don't divide their mesh axis are replicated (see _divisible_spec)."""
+    don't divide their mesh axis are replicated (see _divisible_spec).
+
+    Composes with the int8 serving mode (ops/quant.py): a quantized leaf
+    {'q8': (L, K, N) int8, 's': (L, N) f32} shards q8 exactly like the
+    bf16 kernel it replaced, and the per-output-channel scale follows the
+    kernel's OUTPUT axis (so col-sharded weights shard their scales, row-
+    sharded weights replicate them).  int32 accumulation makes the TP
+    matmul partial-sum psum exact, so sharded == unsharded bit-for-bit on
+    the quantized contractions."""
+    from ..ops.quant import Q8_KEY, SCALE_KEY, is_quantized
+
     specs = dit_param_specs(blockwise)
-    return jax.tree.map(
-        lambda s, leaf: jax.device_put(
-            leaf, NamedSharding(mesh, _divisible_spec(leaf, s, mesh))),
-        specs, params, is_leaf=lambda x: isinstance(x, P))
+
+    def place(leaf, spec):
+        return jax.device_put(
+            leaf, NamedSharding(mesh, _divisible_spec(leaf, spec, mesh)))
+
+    def place_leaf(s, leaf):
+        if is_quantized(leaf):
+            # drop the contraction (K, axis -2) entry for the scale
+            entries = list(s) + [None] * (leaf[Q8_KEY].ndim - len(list(s)))
+            s_scale = P(*(entries[:-2] + entries[-1:]))
+            return {Q8_KEY: place(leaf[Q8_KEY], s),
+                    SCALE_KEY: place(leaf[SCALE_KEY], s_scale)}
+        return place(leaf, s)
+
+    return jax.tree.map(place_leaf, specs, params,
+                        is_leaf=lambda x: isinstance(x, P))

@@ -88,6 +88,23 @@ def _dac_serving_dtype():
     return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
 
 
+def _dit_quant_mode() -> str:
+    """ECHO_DIT_QUANT: 'none' (default, reference-parity bf16) or 'int8'
+    (W8A8 dynamic quantization of the DiT hot loop, ops/quant.py).
+
+    int8 is an opt-in NON-PARITY serving mode — the reference has no
+    quantization support (its production dtype is bf16, handler.py:345);
+    on a v5e the int8 MXU path roughly doubles matmul throughput.  The
+    mode only changes the parameter tree; every downstream code path
+    (samplers, streaming, batching) is identical."""
+    mode = os.environ.get("ECHO_DIT_QUANT", "none").lower()
+    if mode in ("", "0", "none", "bf16"):
+        return "none"
+    if mode == "int8":
+        return "int8"
+    raise ValueError(f"ECHO_DIT_QUANT={mode!r}: expected 'none' or 'int8'")
+
+
 def _random_models(dtype) -> EchoModels:
     from ..models.dac.init import init_dac_params, init_pca_params
     from ..models.dit import init_dit_params
@@ -114,8 +131,9 @@ def load_models(model_dir: Optional[str] = None,
     call clear_models() to swap."""
     global _MODELS, _MODELS_KEY
     use_random = not (model_dir and os.path.isdir(model_dir))
+    quant_mode = _dit_quant_mode()
     key = (None if use_random else model_dir, jnp.dtype(dtype).name,
-           use_random)
+           use_random, quant_mode)
     with _CACHE_LOCK:
         if _MODELS is not None:
             if key != _MODELS_KEY:
@@ -135,6 +153,14 @@ def load_models(model_dir: Optional[str] = None,
                 f"model dir not found: {model_dir!r}; set ECHO_MODEL_DIR to "
                 "a directory with converted safetensors, or pass "
                 "allow_random=True for development")
+        if quant_mode == "int8":
+            import dataclasses
+
+            from ..ops.quant import quantize_dit_params
+            log.warning("ECHO_DIT_QUANT=int8: serving the W8A8 DiT "
+                        "(non-parity mode; see docs/PERFORMANCE.md)")
+            _MODELS = dataclasses.replace(
+                _MODELS, dit_params=quantize_dit_params(_MODELS.dit_params))
         _MODELS_KEY = key
         log.info("models ready in %.1fs", time.time() - t0)
         return _MODELS

@@ -74,6 +74,38 @@ def test_tp_sampler_matches_single_device():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_tp_sampler_int8_matches_single_device():
+    """The W8A8 DiT (ops/quant.py) composes with TP: shard_params places
+    q8 like the kernel it replaced and the per-channel scale on the output
+    axis; int32 accumulation makes the TP psum exact, so the sharded
+    quantized sampler matches the unsharded quantized one."""
+    import dataclasses
+
+    from echo_tts_tpu.ops.quant import quantize_dit_params
+
+    models = _models()
+    models = dataclasses.replace(
+        models, dit_params=quantize_dit_params(models.dit_params))
+    spk, sm, ids, tm, noise = _sample(models, b=4)
+    kwargs = dict(num_steps=2, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
+                  cfg_min_t=0.5, cfg_max_t=1.0, sequence_length=8,
+                  dtype=models.dtype)
+
+    ref = sample_euler_cfg_independent_guidances(
+        models.dit_params, models.dit_cfg, spk, sm, ids, tm,
+        initial_noise=noise, **kwargs)
+
+    mesh = pmesh.make_mesh(dp=4, tp=2)
+    sharded = pinf.shard_models(models, mesh)
+    s_spk, s_sm, s_ids, s_tm, s_noise = pinf.place_request(
+        mesh, spk, sm, ids, tm, noise)
+    got = sample_euler_cfg_independent_guidances(
+        sharded.dit_params, models.dit_cfg, s_spk, s_sm, s_ids, s_tm,
+        initial_noise=s_noise, **kwargs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_tp_sampler_pallas_shard_map_matches_xla():
     """The fused Pallas attention must survive a dp4 x tp2 mesh: forced
     attention_impl='pallas' resolves to the shard_map kernel (interpret

@@ -1,0 +1,189 @@
+"""Int8 (W8A8) quantized DiT path — ops/quant.py (opt-in serving mode).
+
+The quantized mode is NON-PARITY by design (like the few-step recipe):
+these tests pin (a) the quantization math itself, (b) that the parameter-
+tree transform touches exactly the hot-loop leaves, and (c) an error
+envelope of the quantized forward/sampler vs the bf16 path at tiny config,
+so a regression that silently breaks the int8 path (instead of degrading
+it gracefully) is caught on CPU.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from echo_tts_tpu.config import tiny_dit_config
+from echo_tts_tpu.models import dit as jdit
+from echo_tts_tpu.ops import quant
+from echo_tts_tpu.sampler.euler import sample_euler_cfg_independent_guidances
+
+CFG = tiny_dit_config()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return jdit.init_dit_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+
+
+def test_quantize_roundtrip_error_bounded():
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 48)) / np.sqrt(32)
+    q = quant.quantize_weight_int8(w)
+    assert q["q8"].dtype == jnp.int8 and q["q8"].shape == w.shape
+    assert q["s"].shape == (3, 48)
+    back = quant.dequantize_weight(q)
+    # per-element error is at most half a quantization step (scale/2)
+    step = np.asarray(q["s"])[:, None, :]
+    assert np.all(np.abs(np.asarray(back - w)) <= 0.5 * step + 1e-7)
+
+
+def test_int8_dot_matches_f32_within_envelope():
+    k, n, m = 256, 96, 64
+    w = jax.random.normal(jax.random.PRNGKey(2), (k, n)) / np.sqrt(k)
+    x = jax.random.normal(jax.random.PRNGKey(3), (m, k))
+    q = quant.quantize_weight_int8(w)
+    ref = np.asarray(x @ w)
+    got = np.asarray(quant.int8_dot(x, q["q8"], q["s"],
+                                    out_dtype=jnp.float32))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1.5e-2, rel
+
+
+def test_qdot_plain_weight_is_exact_matmul():
+    w = jax.random.normal(jax.random.PRNGKey(4), (16, 8))
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 16))
+    np.testing.assert_array_equal(np.asarray(quant.qdot(x, w)),
+                                  np.asarray(x @ w))
+
+
+def test_quantize_dit_params_touches_only_hot_leaves(params):
+    qp = quant.quantize_dit_params(params)
+    assert quant.dit_params_are_quantized(qp)
+    assert not quant.dit_params_are_quantized(params)
+
+    for group, key in quant.DIT_BLOCK_QUANT_KEYS:
+        leaf = qp["blocks"][group][key]
+        assert quant.is_quantized(leaf)
+        assert leaf["q8"].shape == params["blocks"][group][key].shape
+    # everything else is shared by reference, not copied
+    assert qp["text_encoder"] is params["text_encoder"]
+    assert qp["blocks"]["attn"]["wk_text"] is params["blocks"]["attn"]["wk_text"]
+    assert qp["blocks"]["attn"]["q_norm"] is params["blocks"]["attn"]["q_norm"]
+    assert qp["blocks"]["attn_adaln"] is params["blocks"]["attn_adaln"]
+    assert qp["out_proj"] is params["out_proj"]
+
+    # idempotent: re-quantizing returns identical quantized leaves
+    qp2 = quant.quantize_dit_params(qp)
+    assert qp2["blocks"]["mlp"]["w2"] is qp["blocks"]["mlp"]["w2"]
+
+
+def _forward(p, x, t, kvs, masks):
+    kv_text, kv_speaker = kvs
+    text_mask, speaker_mask = masks
+    return jdit.dit_forward(p, CFG, x, t, text_mask, speaker_mask,
+                            kv_text, kv_speaker)
+
+
+def test_quantized_forward_within_envelope(params):
+    rng = np.random.default_rng(6)
+    b, s = 2, 16
+    ids = jnp.asarray(rng.integers(0, CFG.text_vocab_size, size=(b, 11)))
+    tmask = jnp.asarray(np.ones((b, 11), dtype=bool))
+    spk = jnp.asarray(rng.standard_normal((b, 8, CFG.latent_size)),
+                      jnp.float32)
+    smask = jnp.asarray(np.ones((b, 8), dtype=bool))
+    kv_text = jdit.get_kv_cache_text(params, CFG, ids, tmask)
+    kv_spk = jdit.get_kv_cache_speaker(params, CFG, spk)
+    x = jnp.asarray(rng.standard_normal((b, s, CFG.latent_size)), jnp.float32)
+    t = jnp.full((b,), 0.7, jnp.float32)
+
+    ref = np.asarray(_forward(params, x, t, (kv_text, kv_spk),
+                              (tmask, smask)))
+    qp = quant.quantize_dit_params(params)
+    got = np.asarray(_forward(qp, x, t, (kv_text, kv_spk),
+                              (tmask, smask)))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert np.all(np.isfinite(got))
+    assert rel < 0.05, rel
+
+
+def test_quantized_sampler_envelope_and_stability(params):
+    rng = np.random.default_rng(7)
+    b, seq = 1, 16
+    ids = jnp.asarray(rng.integers(0, CFG.text_vocab_size, size=(b, 11)))
+    tmask = jnp.asarray(np.ones((b, 11), dtype=bool))
+    spk = jnp.asarray(rng.standard_normal((b, 8, CFG.latent_size)),
+                      jnp.float32)
+    smask = jnp.asarray(np.ones((b, 8), dtype=bool))
+    noise = jnp.asarray(rng.standard_normal((b, seq, CFG.latent_size)),
+                        jnp.float32)
+    kw = dict(num_steps=6, cfg_scale_text=3.0, cfg_scale_speaker=8.0,
+              cfg_min_t=0.5, cfg_max_t=1.0, sequence_length=seq,
+              dtype=jnp.float32, initial_noise=noise)
+
+    ref = np.asarray(sample_euler_cfg_independent_guidances(
+        params, CFG, spk, smask, ids, tmask, **kw))
+    got = np.asarray(sample_euler_cfg_independent_guidances(
+        quant.quantize_dit_params(params), CFG, spk, smask, ids, tmask, **kw))
+
+    assert np.all(np.isfinite(got))
+    # 6 guided steps amplify per-matmul int8 noise; pin a sane envelope
+    # plus high agreement in direction (untrained tiny weights are the
+    # worst case for relative error — real layers are smoother).
+    denom = np.linalg.norm(ref) + 1e-9
+    rel = np.linalg.norm(got - ref) / denom
+    corr = float(np.corrcoef(got.ravel(), ref.ravel())[0, 1])
+    assert rel < 0.5, rel
+    assert corr > 0.95, corr
+
+
+def test_synthesize_with_quantized_bundle(tiny_models, tmp_path):
+    """Full serving pipeline (text -> sampler -> PCA -> codec -> WAV) with
+    a W8A8 DiT bundle — pins that the quantized tree flows every hot path
+    (prefill KV, euler core, decode) without shape or dtype breakage."""
+    import dataclasses
+
+    from echo_tts_tpu.serve import handler as h
+    from echo_tts_tpu.serve.config import load_config
+
+    voices = tmp_path / "voices"
+    voices.mkdir()
+    cfg = load_config({
+        "AUDIO_VOICES_DIR": str(voices),
+        "OUTPUT_AUDIO_DIR": str(tmp_path / "out"),
+        "HF_TOKEN": "test",
+    })
+    qm = dataclasses.replace(
+        tiny_models,
+        dit_params=quant.quantize_dit_params(tiny_models.dit_params))
+    out = h.synthesize(
+        {"text": "Quantized mode.", "seed": 11,
+         "parameters": {"num_steps": 2, "sequence_length": 8}},
+        cfg=cfg, models=qm)
+    assert out["status"] == "success", out
+    md = out["metadata"]
+    assert md["num_chunks"] == 1
+
+
+def test_load_models_env_flag(monkeypatch):
+    """ECHO_DIT_QUANT=int8 quantizes at load; the cache key includes the
+    mode so a later different-mode load raises instead of serving the
+    wrong tree."""
+    from echo_tts_tpu.serve import models as serve_models
+
+    from echo_tts_tpu.config import tiny_dac_config
+    monkeypatch.setattr(serve_models, "base_dit_config",
+                        lambda blockwise=True: tiny_dit_config())
+    monkeypatch.setattr(serve_models, "base_dac_config", tiny_dac_config)
+    monkeypatch.setenv("ECHO_DIT_QUANT", "int8")
+    serve_models.clear_models()
+    try:
+        m = serve_models.load_models(None, dtype=jnp.float32,
+                                     allow_random=True)
+        assert quant.dit_params_are_quantized(m.dit_params)
+        monkeypatch.setenv("ECHO_DIT_QUANT", "none")
+        with pytest.raises(RuntimeError, match="already loaded"):
+            serve_models.load_models(None, dtype=jnp.float32,
+                                     allow_random=True)
+    finally:
+        serve_models.clear_models()
