@@ -42,6 +42,12 @@ perf claims are machine-checkable:
                (serve/handler.iter_synthesize_stream: request validation,
                cached voice latent, per-block WAV write + event emit) —
                the delta over ttfa_ms is the serve layer's own overhead
+  sampler_int8_ms  the same 40-step loop with the W8A8 DiT
+               (ECHO_DIT_QUANT=int8, ops/quant.py — opt-in NON-PARITY
+               mode; int8 MXU matmuls, same sampler semantics)
+  rtf_int8     end-to-end RTF of the int8 mode, computed from stages
+               (prefill and decode are mode-independent):
+               audio_s / (prefill + sampler_int8 + decode)
 """
 from __future__ import annotations
 
@@ -379,6 +385,23 @@ def main():
     np.asarray(full(SHORT_SEQ))
     p50_short_ms = 1e3 * _timeit(lambda: full(SHORT_SEQ), n=5)
 
+    # int8 opt-in serving mode (ops/quant.py; ECHO_DIT_QUANT=int8): the
+    # identical 40-step program over the W8A8 parameter tree.  Timed on
+    # the same KV/noise; prefill and decode never touch the quantized
+    # leaves, so rtf_int8 is reported from the stage sum (the round-3
+    # measurement change made the stages reconcile with end-to-end).
+    from echo_tts_tpu.ops.quant import quantize_dit_params
+    qparams = quantize_dit_params(params)
+    _, chk_q = sampler_only(qparams, kv_static, spk_cols, inp["text_mask"],
+                            inp["speaker_mask"], inp["noise"])
+    np.asarray(chk_q)
+    sampler_int8_ms = 1e3 * _timeit(lambda: sampler_only(
+        qparams, kv_static, spk_cols, inp["text_mask"], inp["speaker_mask"],
+        inp["noise"])[1])
+    del qparams
+    rtf_int8 = AUDIO_SECONDS / (
+        (prefill_ms + sampler_int8_ms + decode_ms) / 1e3)
+
     # Free the one-shot stage arrays before the blockwise/batched stages:
     # two full DiT parameter sets plus B=8 activations would pressure the
     # 16 GB HBM (the batch stage OOMed before this was added).
@@ -423,6 +446,8 @@ def main():
         "streamed_rtf": round(streamed_rtf, 3),
         "throughput_rtf_b8": round(throughput_rtf_b8, 3),
         "throughput_rtf_b8_chip": round(throughput_rtf_b8_chip, 3),
+        "sampler_int8_ms": round(sampler_int8_ms, 1),
+        "rtf_int8": round(rtf_int8, 3),
     }))
 
 

@@ -134,20 +134,35 @@ def main():
             params, kv_static, spk_cols, text_mask, speaker_mask,
             noise)[1])
 
+    # compounded ceiling: few-step student + the int8 W8A8 serving mode
+    # (ops/quant.py) — the two levers are independent (steps x per-step)
+    from echo_tts_tpu.ops.quant import quantize_dit_params
+    qparams = quantize_dit_params(params)
+    _, cq = sampler_few(qparams, kv_static, spk_cols, text_mask,
+                        speaker_mask, noise)
+    np.asarray(cq)
+    out["few8_int8"] = 1e3 * _timeit(lambda: sampler_few(
+        qparams, kv_static, spk_cols, text_mask, speaker_mask, noise)[1])
+    del qparams
+
     np.asarray(decode_only(dac_params, pca, latents))
     decode_ms = 1e3 * _timeit(lambda: decode_only(dac_params, pca, latents))
 
     rtf_few = AUDIO_SECONDS / ((prefill_ms + out["few8"] + decode_ms) / 1e3)
     rtf_40 = AUDIO_SECONDS / ((prefill_ms + out["cfg40"] + decode_ms) / 1e3)
+    rtf_few_int8 = AUDIO_SECONDS / (
+        (prefill_ms + out["few8_int8"] + decode_ms) / 1e3)
     print(json.dumps({
         "metric": "few_step_nonparity_rtf",
         "value": round(rtf_few, 2),
         "unit": "x_realtime",
         "prefill_ms": round(prefill_ms, 1),
         "sampler_few8_ms": round(out["few8"], 1),
+        "sampler_few8_int8_ms": round(out["few8_int8"], 1),
         "sampler_cfg40_ms": round(out["cfg40"], 1),
         "decode_ms": round(decode_ms, 1),
         "rtf_parity_40step": round(rtf_40, 2),
+        "rtf_few8_int8": round(rtf_few_int8, 2),
         "note": "few8 = mechanical timing of the distilled mode; needs "
                 "distilled weights for real audio (train/distill.py)",
     }))
