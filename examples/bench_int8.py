@@ -41,6 +41,8 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
+from echo_tts_tpu.ops.pallas.int8_matmul import (  # noqa: E402
+    int8_matmul_fused)
 from echo_tts_tpu.ops.quant import (  # noqa: E402
     dequantize_weight, int8_dot, quantize_weight_int8)
 
@@ -126,6 +128,12 @@ def _w8_dequant(x, w):
     return x @ dequantize_weight(w, jnp.bfloat16)
 
 
+def _w8a8_pallas(bm=0):
+    def mm(x, w):
+        return int8_matmul_fused(x, w["q8"], w["s"], block_m=bm)
+    return mm
+
+
 def _mk_weights(key, shapes):
     ks = jax.random.split(key, len(shapes))
     bf16 = {name: (jax.random.normal(k, (L,) + shp, jnp.float32)
@@ -148,6 +156,9 @@ def _report(tag, flops, ws_bf16, ws_q8, ws_pure, scan_builder, h):
     rows.append(("int8 pure", t))
     t = _time(scan_builder(_w8_dequant), h, ws_q8)
     rows.append(("w8 dequant->bf16", t))
+    for bm in (384, 320, 128):
+        t = _time(scan_builder(_w8a8_pallas(bm)), h, ws_q8)
+        rows.append((f"w8a8 pallas bm={bm}", t))
 
     base = rows[0][1]
     print(f"\n### {tag}  ({flops/1e12:.2f} TFLOP per program)")
@@ -186,6 +197,9 @@ def main():
     rel_bf = float(jnp.linalg.norm(bf - ref) / jnp.linalg.norm(ref))
     print(f"\nsingle-matmul relative error vs f32: w8a8 {rel:.2e} "
           f"(bf16 baseline {rel_bf:.2e})")
+    got_k = int8_matmul_fused(x, q["q8"], q["s"], out_dtype=jnp.float32)
+    dk = float(jnp.max(jnp.abs(got_k - got)))
+    print(f"pallas kernel vs XLA w8a8 max abs diff: {dk:.2e}")
 
 
 if __name__ == "__main__":

@@ -49,6 +49,26 @@ def test_int8_dot_matches_f32_within_envelope():
     assert rel < 1.5e-2, rel
 
 
+def test_pallas_w8a8_kernel_matches_xla_path():
+    """The experimental fused kernel (ops/pallas/int8_matmul.py — a kept,
+    measured negative result; see its docstring) must stay bit-faithful
+    to the production XLA path on the int32 accumulator."""
+    from echo_tts_tpu.ops.pallas.int8_matmul import (int8_matmul_fused,
+                                                     supported)
+
+    k, n, m = 256, 256, 128
+    w = jax.random.normal(jax.random.PRNGKey(20), (k, n)) / np.sqrt(k)
+    x = jax.random.normal(jax.random.PRNGKey(21), (2, m // 2, k))
+    q = quant.quantize_weight_int8(w)
+    assert supported(m, k, n)
+    assert not supported(m + 1, k, n)
+    ref = quant.int8_dot(x, q["q8"], q["s"], out_dtype=jnp.float32)
+    got = int8_matmul_fused(x, q["q8"], q["s"], interpret=True,
+                            out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=0)
+
+
 def test_qdot_plain_weight_is_exact_matmul():
     w = jax.random.normal(jax.random.PRNGKey(4), (16, 8))
     x = jax.random.normal(jax.random.PRNGKey(5), (4, 16))
