@@ -295,13 +295,57 @@ def check_codec(models: EchoModels, tdac, ref_inf, pca_path: str,
             "num_latents": int(lat.shape[1])}
 
 
+def check_int8_mode(models: EchoModels, *, num_steps: Optional[int],
+                    sequence_length: int, speaker_len: int,
+                    seed: int = 0, presets=None) -> dict:
+    """Per-preset latent MSE / relative error of the int8 (W8A8) serving
+    mode vs the fp32 JAX path on THESE weights — the acceptance metric
+    for ECHO_DIT_QUANT=int8 (a NON-PARITY opt-in; this is informational
+    and never gates report['pass']).  Random-weight envelopes are pinned
+    in tests/test_quant.py; this puts real numbers on real weights the
+    day they are reachable."""
+    from ..ops.quant import quantize_dit_params
+    from ..sampler.euler import sample_euler_cfg_independent_guidances
+    from ..serve.presets import load_presets
+
+    presets = presets if presets is not None else load_presets()
+    ids, tmask, spk, smask = _sampler_inputs(
+        models.dit_cfg, sequence_length, speaker_len, seed)
+    rng = np.random.default_rng(seed)
+    noise = rng.standard_normal(
+        (1, sequence_length, models.dit_cfg.latent_size)).astype(np.float32)
+    qparams = quantize_dit_params(models.dit_params)
+    out = {}
+    for name, preset in presets.items():
+        p = dict(SAMPLER_DEFAULTS)
+        p.update(preset)
+        p.pop("sequence_length", None)
+        if num_steps is not None:
+            p["num_steps"] = num_steps
+        kw = dict(sequence_length=sequence_length, dtype=jnp.float32,
+                  initial_noise=jnp.asarray(noise), **p)
+        ref = np.asarray(sample_euler_cfg_independent_guidances(
+            models.dit_params, models.dit_cfg, jnp.asarray(spk),
+            jnp.asarray(smask), jnp.asarray(ids), jnp.asarray(tmask), **kw))
+        got = np.asarray(sample_euler_cfg_independent_guidances(
+            qparams, models.dit_cfg, jnp.asarray(spk), jnp.asarray(smask),
+            jnp.asarray(ids), jnp.asarray(tmask), **kw))
+        out[name] = {
+            "latent_mse_vs_fp32": float(np.mean((got - ref) ** 2)),
+            "rel_err": float(np.linalg.norm(got - ref)
+                             / (np.linalg.norm(ref) + 1e-12)),
+        }
+    return out
+
+
 def validate(model_dir: Optional[str] = None, *, from_hf: bool = False,
              token: Optional[str] = None,
              reference_dir: str = DEFAULT_REFERENCE_DIR,
              gate: float = 1e-3, num_steps: Optional[int] = 8,
              sequence_length: int = 160, speaker_len: int = 64,
              save_checkpoint_dir: Optional[str] = None,
-             dit_cfg=None, dac_cfg=None, presets=None) -> dict:
+             dit_cfg=None, dac_cfg=None, presets=None,
+             int8_report: bool = False) -> dict:
     """The full gate; returns the report dict (report["pass"] is the
     overall verdict)."""
     t_start = time.time()
@@ -334,6 +378,10 @@ def validate(model_dir: Optional[str] = None, *, from_hf: bool = False,
             presets=presets),
         "codec": check_codec(bundle, tdac, ref_inf, pca_path, gate=gate),
     }
+    if int8_report:
+        report["int8_mode"] = check_int8_mode(
+            bundle, num_steps=num_steps, sequence_length=sequence_length,
+            speaker_len=speaker_len, presets=presets)
     if save_checkpoint_dir:
         from .checkpoint import save_checkpoint
         save_checkpoint(save_checkpoint_dir, bundle)
@@ -367,6 +415,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="native preset steps at full sequence length "
                          "(slow: the torch leg runs on CPU)")
     ap.add_argument("--save-checkpoint", default=None)
+    ap.add_argument("--int8-report", action="store_true",
+                    help="also report the int8 (W8A8) mode's latent "
+                         "error vs the fp32 path on these weights "
+                         "(informational; never gates)")
     ap.add_argument("--out", default=None, help="write the JSON report here")
     args = ap.parse_args(argv)
 
@@ -377,7 +429,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         reference_dir=args.reference_dir, gate=args.gate,
         num_steps=num_steps, sequence_length=seq_len,
         speaker_len=args.speaker_len,
-        save_checkpoint_dir=args.save_checkpoint)
+        save_checkpoint_dir=args.save_checkpoint,
+        int8_report=args.int8_report)
     text = json.dumps(report, indent=2)
     if args.out:
         with open(args.out, "w") as f:

@@ -88,6 +88,20 @@ def test_validate_passes_on_reference_format_weights(model_dir, tmp_path):
     assert os.path.isdir(str(tmp_path / "ckpt"))
 
 
+def test_validate_int8_report(model_dir):
+    """--int8-report adds per-preset int8-vs-fp32 error (informational:
+    a large int8 error must NOT fail the gate)."""
+    report = vw.validate(
+        model_dir, gate=1e-3, num_steps=2, sequence_length=8,
+        speaker_len=8, dit_cfg=STRUCT_DIT, dac_cfg=STRUCT_DAC,
+        presets=FAST_PRESETS, int8_report=True)
+    assert report["pass"], report
+    assert set(report["int8_mode"]) == set(FAST_PRESETS)
+    for name, r in report["int8_mode"].items():
+        assert np.isfinite(r["latent_mse_vs_fp32"]), (name, r)
+        assert np.isfinite(r["rel_err"]) and r["rel_err"] >= 0.0, (name, r)
+
+
 def test_validate_fails_on_converter_divergence(model_dir, monkeypatch):
     """The gate's failure mode is the two stacks DISAGREEING (a converter
     mapping/transpose/dtype bug): simulate one by perturbing a single
