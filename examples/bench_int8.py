@@ -140,7 +140,7 @@ def _mk_weights(key, shapes):
                    / np.sqrt(shp[0])).astype(jnp.bfloat16)
             for k, (name, shp) in zip(ks, shapes.items())}
     q8 = {name: quantize_weight_int8(w) for name, w in bf16.items()}
-    q8_pure = {name: {"q8": q[ "q8"]} for name, q in q8.items()}
+    q8_pure = {name: {"q8": q["q8"]} for name, q in q8.items()}
     return bf16, q8, q8_pure
 
 

@@ -185,6 +185,25 @@ def test_synthesize_with_quantized_bundle(tiny_models, tmp_path):
     assert md["num_chunks"] == 1
 
 
+def test_stream_synthesize_with_quantized_bundle(tiny_models):
+    """Blockwise streaming (latent-prefix KV, per-block decode) over a
+    W8A8 tree — the quantized leaves ride the scanned blockwise params
+    too (wk_latent/wv_latent stay bf16 by design)."""
+    import dataclasses
+
+    from echo_tts_tpu.serve.streaming import stream_synthesize
+
+    qm = dataclasses.replace(
+        tiny_models,
+        dit_params=quant.quantize_dit_params(tiny_models.dit_params))
+    chunks = list(stream_synthesize(
+        qm, "Quantized stream.", chunk_size=4, num_chunks=3, seed=5,
+        sampler_params={"num_steps": 2}))
+    assert len(chunks) == 3 and chunks[-1].is_last
+    for c in chunks:
+        assert np.isfinite(c.audio).all()
+
+
 def test_load_models_env_flag(monkeypatch):
     """ECHO_DIT_QUANT=int8 quantizes at load; the cache key includes the
     mode so a later different-mode load raises instead of serving the
