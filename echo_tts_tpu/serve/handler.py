@@ -79,14 +79,20 @@ def get_voice_latent(models: EchoModels, path: str):
     latents are only valid for the encoder that produced them — and
     models.clear_models() clears this cache too (id() values may be
     reused after a bundle is garbage-collected)."""
+    import weakref
+
     st = os.stat(path)
     key = (id(models), os.path.abspath(path), st.st_mtime_ns, st.st_size,
            models_frame_length(models))
     with _VOICE_CACHE_LOCK:
         hit = _VOICE_CACHE.get(key)
-        if hit is not None:
+        # the weakref guards id() reuse for bundles NOT managed by the
+        # serve.models singleton (clear_models covers the singleton): a
+        # GC'd bundle whose address CPython hands to a new bundle must
+        # miss, not serve latents from the old bundle's encoder
+        if hit is not None and hit[0]() is models:
             _VOICE_CACHE.move_to_end(key)
-            return hit
+            return hit[1]
     audio = audio_io.load_audio(path)
     from ..pipeline.pipeline import get_speaker_latent_and_mask
     from .presets import pick_speaker_bucket
@@ -95,7 +101,7 @@ def get_voice_latent(models: EchoModels, path: str):
     lat, mask = get_speaker_latent_and_mask(
         models, audio, max_speaker_latent_length=bucket, pad_to_max=True)
     with _VOICE_CACHE_LOCK:
-        _VOICE_CACHE[key] = (lat, mask, bucket)
+        _VOICE_CACHE[key] = (weakref.ref(models), (lat, mask, bucket))
         while len(_VOICE_CACHE) > VOICE_CACHE_MAX:
             _VOICE_CACHE.popitem(last=False)
     log.info("voice cached: %s (bucket %d, %d entries)",
@@ -625,11 +631,15 @@ def serve_stdin_concurrent(cfg: ServeConfig, *, max_batch: int,
                            lines=None, emit=None) -> None:
     """Concurrent stdin/stdout protocol: synthesis jobs run on a thread
     pool and their chunks coalesce in one MicroBatchServer (one device
-    stream, bounded HBM — serve/server.py); streaming jobs run inline in
-    the intake loop so their per-block latency is never queued behind
-    batch work.  Responses carry request_id; completion order is NOT
-    input order (clients correlate by request_id).  `lines`/`emit` exist
-    for tests; production uses stdin/print."""
+    stream, bounded HBM — serve/server.py); streaming jobs run on a
+    dedicated single worker (intake never blocks) that holds the
+    server's device_lock for the stream's duration, so a blockwise
+    stream's KV never co-resides in HBM with a padded batch pass — the
+    one-device-stream invariant survives concurrency at the cost of
+    batch work queueing behind an active stream.  Responses carry
+    request_id; completion order is NOT input order (clients correlate
+    by request_id).  `lines`/`emit` exist for tests; production uses
+    stdin/print."""
     import json
     import sys
     from concurrent.futures import ThreadPoolExecutor
@@ -649,6 +659,13 @@ def serve_stdin_concurrent(cfg: ServeConfig, *, max_batch: int,
 
     pool = ThreadPoolExecutor(max_workers=max_batch,
                               thread_name_prefix="echo-job")
+    stream_pool = ThreadPoolExecutor(max_workers=1,
+                                     thread_name_prefix="echo-stream")
+
+    def run_stream(j):
+        with server.device_lock:
+            emit(handler(j, on_block=emit, cfg=cfg))
+
     pending = []
     try:
         for line in (lines if lines is not None else sys.stdin):
@@ -666,15 +683,20 @@ def serve_stdin_concurrent(cfg: ServeConfig, *, max_batch: int,
                 job = line
             job_input = job.get("input") or {}
             if job_input.get("stream"):
-                emit(handler(job, on_block=emit, cfg=cfg))
+                pending.append(stream_pool.submit(run_stream, job))
             else:
                 pending.append(pool.submit(
                     lambda j=job: emit(handler(j, batch_server=server,
                                                cfg=cfg))))
+            # completed futures are done emitting; drop them so a
+            # long-lived worker's pending list stays O(in-flight), not
+            # O(total requests served)
+            pending = [f for f in pending if not f.done()]
         for f in pending:
             f.result()
     finally:
         pool.shutdown(wait=True)
+        stream_pool.shutdown(wait=True)
         server.shutdown()
 
 

@@ -256,11 +256,17 @@ def warmup_manifest(batch_sizes=(), *, full: bool = False,
         for s in speakers:
             entries.append(stream_entry(s, [160] * 4))   # default schedule
             entries.append(stream_entry(s, list(sizes)))  # growing ramp
+    # Batched programs are keyed on (batch size, sequence_length) too —
+    # the server groups by identical sampler params (batcher.py:
+    # group_compatible), so an auto_sequence_length chunk batching to a
+    # non-default bucket runs its own (G*B)-row program.  Warm batch x
+    # the same seq list the one-shot entries use (all buckets iff full).
     for b in batch_sizes:
         for s in speakers:
-            entries.append({"kind": "batch", "batch_size": int(b),
-                            "speaker_bucket": s,
-                            "sequence_length": seq_default})
+            for q in seqs:
+                entries.append({"kind": "batch", "batch_size": int(b),
+                                "speaker_bucket": s,
+                                "sequence_length": q})
     return entries
 
 

@@ -48,6 +48,14 @@ class MicroBatchServer:
             queue.Queue())
         self._stop = threading.Event()
         self._submit_lock = threading.Lock()  # orders submit vs shutdown
+        # Serializes DEVICE work: the executor holds it per batched pass,
+        # and co-resident non-queue work (e.g. a streaming job running
+        # beside this server, serve/handler.serve_stdin_concurrent) must
+        # hold it too — two concurrent dispatch streams would otherwise
+        # co-locate a padded B=8 sampler+decode and a blockwise stream's
+        # KV in HBM at once (the 16 GB v5e has OOMed on less; bench.py
+        # note on the B=8 decode).
+        self.device_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="echo-batch-executor")
         self._thread.start()
@@ -108,9 +116,10 @@ class MicroBatchServer:
                     # real request's audio identical to the serial path
                     bucket = pick_batch_bucket(len(reqs), self.max_batch)
                     padded = reqs + [reqs[-1]] * (bucket - len(reqs))
-                    results = run_batch(
-                        self.models, padded, params,
-                        speaker_bucket=self.speaker_bucket)[:len(reqs)]
+                    with self.device_lock:
+                        results = run_batch(
+                            self.models, padded, params,
+                            speaker_bucket=self.speaker_bucket)[:len(reqs)]
                     for fut, res in zip(futs, results):
                         fut.set_result(res)
                 except Exception as exc:

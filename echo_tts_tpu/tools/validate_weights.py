@@ -54,11 +54,29 @@ def _import_reference(reference_dir: str):
     """Import the live torch reference (model, autoencoder, inference)
     with absent deps stubbed — same recipe as the parity suite's oracle
     (tests/torch_ref.py)."""
+    import importlib.util
+
+    def pkg_absent(base: str) -> bool:
+        mod = sys.modules.get(base)
+        if mod is not None:
+            # an earlier stub (ours or the test oracle's) has no __spec__
+            # — and find_spec RAISES on such entries, so answer from the
+            # module object instead
+            return getattr(mod, "__spec__", None) is None
+        try:
+            return importlib.util.find_spec(base) is None
+        except (ValueError, ModuleNotFoundError):
+            return True
+
     if reference_dir not in sys.path:
         sys.path.insert(0, reference_dir)
     for name in ("torchaudio", "torchcodec", "torchcodec.decoders",
                  "huggingface_hub"):
-        if name not in sys.modules:
+        # Stub ONLY genuinely-absent packages: an unconditional stub of
+        # e.g. huggingface_hub would permanently shadow a real install in
+        # sys.modules and poison a later --from-hf download in the same
+        # process (hub._download would get the stub's None paths).
+        if name not in sys.modules and pkg_absent(name.split(".")[0]):
             mod = types.ModuleType(name)
             if name == "torchcodec.decoders":
                 mod.AudioDecoder = object

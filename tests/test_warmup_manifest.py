@@ -112,11 +112,25 @@ def test_later_cover_schedule_lands_in_its_bucket():
 
 
 def test_full_manifest_batch_entries():
+    """Batched programs are keyed on (batch size, sequence_length) too
+    (batcher.group_compatible groups by identical sampler params), so
+    full=True must warm batch entries for EVERY sequence bucket — an
+    auto_sequence_length chunk that batches at seq 160/320/480 would
+    otherwise pay a full-size compile at traffic time."""
+    from echo_tts_tpu.config import SAMPLER_DEFAULTS
     m = P.warmup_manifest(batch_sizes=(4, 8), full=True)
     batches = [e for e in m if e["kind"] == "batch"]
     speaker_buckets = {None} | set(P._parse_buckets(P.SPEAKER_BUCKETS))
-    assert {(e["batch_size"], e["speaker_bucket"]) for e in batches} == {
-        (b, s) for b in (4, 8) for s in speaker_buckets}
+    seq_buckets = (set(P._parse_buckets(P.SEQUENCE_BUCKETS))
+                   | {SAMPLER_DEFAULTS["sequence_length"]})
+    assert {(e["batch_size"], e["speaker_bucket"], e["sequence_length"])
+            for e in batches} == {
+        (b, s, q) for b in (4, 8) for s in speaker_buckets
+        for q in seq_buckets}
+    # the high-traffic default stays lean: default seq only
+    m0 = P.warmup_manifest(batch_sizes=(8,))
+    assert {e["sequence_length"] for e in m0 if e["kind"] == "batch"} == {
+        SAMPLER_DEFAULTS["sequence_length"]}
 
 
 def test_full_manifest_covers_incremental_kv_paths():

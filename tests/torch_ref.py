@@ -34,10 +34,26 @@ def import_ref_inference():
     """Import reference inference.py with its heavyweight/absent deps stubbed
     (torchaudio, torchcodec, huggingface_hub, safetensors are not needed for
     the sampler math we use as an oracle)."""
+    import importlib.util
+
+    def pkg_absent(base):
+        mod = sys.modules.get(base)
+        if mod is not None:
+            # a stub installed earlier has no __spec__ (find_spec RAISES
+            # on those); a real import has one
+            return getattr(mod, "__spec__", None) is None
+        try:
+            return importlib.util.find_spec(base) is None
+        except (ValueError, ModuleNotFoundError):
+            return True
+
     _ensure_ref_importable()
     for name in ("torchaudio", "torchcodec", "torchcodec.decoders",
                  "huggingface_hub"):
-        if name not in sys.modules:
+        # stub only genuinely-absent packages — an unconditional stub
+        # would shadow a real install for the rest of the process (e.g.
+        # huggingface_hub IS installed in this image)
+        if name not in sys.modules and pkg_absent(name.split(".")[0]):
             mod = types.ModuleType(name)
             if name == "torchcodec.decoders":
                 mod.AudioDecoder = object
