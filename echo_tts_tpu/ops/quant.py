@@ -85,15 +85,20 @@ def int8_dot(x: jnp.ndarray, w8: jnp.ndarray, w_scale: jnp.ndarray,
 
 def qdot(x: jnp.ndarray, w: Union[jnp.ndarray, QuantizedWeight]
          ) -> jnp.ndarray:
-    """`x @ w` that transparently takes the int8 path for quantized leaves.
+    """`x @ w` that transparently takes the int8 path for quantized leaves
+    (and the QAT fake-quant path for {QAT_KEY: w} leaves, train/distill.py).
 
     This is the single matmul entry the DiT block body uses; whether a
-    model runs bf16 or W8A8 is decided entirely by the parameter tree
-    (see quantize_dit_params), never by a flag threaded through the
-    forward code.
+    model runs bf16, W8A8, or quantization-aware training is decided
+    entirely by the parameter tree (see quantize_dit_params /
+    qat_tag_dit_params), never by a flag threaded through the forward
+    code.
     """
-    if is_quantized(w):
-        return int8_dot(x, w[Q8_KEY], w[SCALE_KEY])
+    if isinstance(w, dict):
+        if Q8_KEY in w:
+            return int8_dot(x, w[Q8_KEY], w[SCALE_KEY])
+        if QAT_KEY in w:
+            return qat_dot(x, w[QAT_KEY])
     return x @ w
 
 
@@ -135,3 +140,57 @@ def quantize_dit_params(params: dict) -> dict:
 
 def dit_params_are_quantized(params: dict) -> bool:
     return is_quantized(params["blocks"]["mlp"]["w2"])
+
+
+# ---------------------------------------------------------------------------
+# Quantization-aware training (QAT) — fake-quant with straight-through
+# gradients, so a distilled student can be trained ROBUST to int8 serving
+# (train/distill.py quant_aware=True).  The forward applies the same
+# quantization decisions as int8_dot (per-channel weights, dynamic
+# per-row activations, symmetric 127) in f32 arithmetic; gradients pass
+# straight through the rounding (scales are stop_gradient'd, the
+# standard recipe).
+# ---------------------------------------------------------------------------
+
+QAT_KEY = "qat"
+
+
+def _round_ste(v: jnp.ndarray) -> jnp.ndarray:
+    return v + jax.lax.stop_gradient(jnp.round(v) - v)
+
+
+def qat_dot(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """x @ w with W8A8 fake quantization on both operands.
+
+    Matches int8_dot's values up to f32-vs-int32 accumulation order;
+    d/dw is the plain matmul gradient inside the clip range (STE)."""
+    xf = x.astype(jnp.float32)
+    x_scale = jax.lax.stop_gradient(
+        jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12)
+        / 127.0)
+    xq = jnp.clip(_round_ste(xf / x_scale), -127, 127)
+
+    wf = w.astype(jnp.float32)
+    w_scale = jax.lax.stop_gradient(
+        jnp.maximum(jnp.max(jnp.abs(wf), axis=-2, keepdims=True), 1e-12)
+        / 127.0)
+    wq = jnp.clip(_round_ste(wf / w_scale), -127, 127)
+
+    out = jnp.matmul(xq, wq) * x_scale * w_scale[..., 0, :]
+    return out.astype(x.dtype)
+
+
+def qat_tag_dit_params(params: dict) -> dict:
+    """Tag the hot-loop weight leaves for the QAT forward (shares every
+    array by reference — pure pytree relabeling, applied INSIDE the loss
+    so optimizer state stays on the plain tree)."""
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    for group in dict.fromkeys(g for g, _ in DIT_BLOCK_QUANT_KEYS):
+        blocks[group] = dict(blocks[group])
+    for group, key in DIT_BLOCK_QUANT_KEYS:
+        leaf = blocks[group][key]
+        if not isinstance(leaf, dict):
+            blocks[group][key] = {QAT_KEY: leaf}
+    out["blocks"] = blocks
+    return out

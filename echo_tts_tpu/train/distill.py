@@ -68,10 +68,19 @@ def distill_loss(
     cfg_min_t: float = 0.5,
     cfg_max_t: float = 1.0,
     dtype=jnp.bfloat16,
+    quant_aware: bool = False,
 ) -> jnp.ndarray:
     """MSE between the student's one-step velocity and the teacher's
     `substeps`-step CFG-guided average velocity over one student-grid
     interval.
+
+    `quant_aware=True` trains the student THROUGH the W8A8 fake-quant
+    forward (ops/quant.qat_dot: int8 quantization decisions, f32
+    arithmetic, straight-through gradients), so the checkpoint it
+    produces is robust to `ECHO_DIT_QUANT=int8` serving — stacking the
+    few-step and int8 levers (docs/PERFORMANCE.md §11) without training/
+    serving mismatch.  The tagging is pure pytree relabeling inside the
+    loss; the optimizer always sees plain bf16 parameters.
 
     `batch` is the flow-matching batch (train/step.py:flow_matching_loss);
     the start state x_t is formed by the forward process at a t drawn
@@ -135,8 +144,13 @@ def distill_loss(
                             jnp.arange(substeps, dtype=jnp.float32))
     v_target = jax.lax.stop_gradient((x_end - x_t) / dt_student)
 
+    if quant_aware:
+        from ..ops.quant import qat_tag_dit_params
+        student_fwd = qat_tag_dit_params(student_params)
+    else:
+        student_fwd = student_params
     v_pred = dit.dit_forward_static(
-        student_params, cfg, x_t.astype(dtype), t_hi.astype(dtype),
+        student_fwd, cfg, x_t.astype(dtype), t_hi.astype(dtype),
         kv_s[0], kv_s[1], mask_plain)
 
     sq = jnp.square(v_pred - v_target)
