@@ -7,6 +7,9 @@ initialization (same compute, noise audio) as a smoke test.
 
     python examples/generate.py --text "Hello!" [--voice ref.wav]
         [--preset Independent-High-Speaker-CFG] [--seed 0] [--out out.wav]
+
+Serving env vars apply (the example loads through serve.models): e.g.
+ECHO_DIT_QUANT=int8 runs the W8A8 DiT (docs/PERFORMANCE.md §11).
 """
 import argparse
 import os

@@ -135,3 +135,44 @@ def test_serve_stdin_concurrent_protocol(models, cfg, monkeypatch):
     assert [b["index"] for b in blocks] == [0, 1]
     ids = sorted(f["metadata"]["request_id"] for f in finals)
     assert ids == ["job0", "job1", "job2", "job3", "sjob"]
+
+
+def test_serve_stdin_concurrent_two_streams_serialize(models, cfg,
+                                                      monkeypatch):
+    """Streams run on ONE dedicated worker holding the server's device
+    lock: two streams interleaved with batch jobs must each emit their
+    blocks in order WITHOUT interleaving with each other (the
+    one-device-stream HBM invariant)."""
+    monkeypatch.setattr(h, "STREAM_CHUNK_SIZES", (4,))
+    monkeypatch.setattr(h.models_mod, "load_models",
+                        lambda *a, **k: models)
+    monkeypatch.setattr(h, "load_config", lambda *a, **k: cfg)
+    monkeypatch.setattr(h.models_mod, "models_loaded", lambda: True)
+
+    def stream_job(rid):
+        return json.dumps({"input": {
+            "text": "Streamed.", "stream": True, "chunk_size": 4,
+            "num_chunks": 2, "parameters": {"num_steps": 2},
+            "request_id": rid, "_allow_random": True}})
+
+    batch_job = json.dumps({"input": {
+        "text": "Batched.", "parameters": dict(FAST), "seed": 3,
+        "request_id": "bjob", "_allow_random": True}})
+    lines = [stream_job("s1"), batch_job, stream_job("s2")]
+
+    out = []
+    h.serve_stdin_concurrent(cfg, max_batch=4, allow_random=True,
+                             lines=lines, emit=out.append)
+
+    blocks = [o for o in out if o.get("event") == "block"]
+    assert len(blocks) == 4
+    by_stream = {}
+    for b in blocks:
+        by_stream.setdefault(b["request_id"], []).append(b["index"])
+    assert by_stream == {"s1": [0, 1], "s2": [0, 1]}
+    # the single stream worker serializes the two streams fully
+    order = [b["request_id"] for b in blocks]
+    assert order == ["s1", "s1", "s2", "s2"]
+    finals = sorted(o["metadata"]["request_id"] for o in out
+                    if o.get("status") == "success" and "metadata" in o)
+    assert finals == ["bjob", "s1", "s2"]
