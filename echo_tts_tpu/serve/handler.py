@@ -167,6 +167,9 @@ def health_check(cfg: Optional[ServeConfig] = None) -> Dict:
         "voices_available": voices,
         "output_dir": cfg.output_dir,
         "ffmpeg": audio_io.ffmpeg_available(),
+        # which DiT the worker serves (bf16 parity vs W8A8 non-parity) —
+        # quality triage needs this visible, not inferred from env
+        "dit_quant": models_mod._dit_quant_mode(),
     }
 
 
