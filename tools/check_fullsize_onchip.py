@@ -121,6 +121,24 @@ def main():
     out_std = float(np.std(ref))
     max_abs = float(np.max(np.abs(err)))
     rel_rms = float(np.sqrt(np.mean(err ** 2)) / np.std(ref))
+
+    # int8 (W8A8) mode at full depth/width on the chip — informational
+    # (non-parity mode; docs/PERFORMANCE.md §11).  Measured 2026-08-18
+    # (seed 5, TPU v5 lite): rel-RMS vs bf16 4.99e-3, and vs the fp32
+    # oracle 1.057e-2 — statistically identical to bf16's own 1.050e-2.
+    # At the published width the per-channel int8 error (K=2048
+    # averaging) sits BELOW bf16 rounding, so at full size the mode's
+    # output error is dominated by bf16, not by quantization.
+    from echo_tts_tpu.ops.quant import quantize_dit_params
+    got_q = np.asarray(forward(
+        quantize_dit_params(params), jnp.asarray(x), jnp.asarray(t),
+        jnp.asarray(ids), jnp.asarray(tmask_b), jnp.asarray(spk),
+        jnp.asarray(tmask), jnp.asarray(smask)))
+    rel_rms_q_bf16 = float(np.sqrt(np.mean((got_q - got) ** 2))
+                           / np.std(got))
+    rel_rms_q_ref = float(np.sqrt(np.mean((got_q - ref) ** 2))
+                          / np.std(ref))
+
     report = {"metric": "fullsize_onchip_forward",
               "platform": dev.platform,
               "out_std": round(out_std, 4),
@@ -128,12 +146,18 @@ def main():
               "rel_rms_err": round(rel_rms, 6),
               "envelope_rel_rms": ENVELOPE_REL_RMS,
               "envelope_max_abs": ENVELOPE_MAX_ABS,
+              "int8_rel_rms_vs_bf16": round(rel_rms_q_bf16, 6),
+              "int8_rel_rms_vs_fp32": round(rel_rms_q_ref, 6),
               "wall_s": round(time.time() - t0, 1)}
     print(json.dumps(report))
     assert rel_rms < ENVELOPE_REL_RMS, report
     assert max_abs < ENVELOPE_MAX_ABS, report
+    # int8 is informational but a blow-up means the quantized tree broke
+    assert np.isfinite(got_q).all()
+    assert rel_rms_q_bf16 < 0.15, report
     print("# PASS: 24-layer full-size bf16 forward on-chip is inside the "
-          "documented envelope", file=sys.stderr)
+          "documented envelope (int8 mode reported informationally)",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
