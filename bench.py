@@ -276,27 +276,33 @@ def _serve_ttfa_once(models, job, cfg_srv):
 
 
 def _serve_ttfa(models, sampler_kw, n=3):
+    import shutil
     import tempfile
 
     from echo_tts_tpu.pipeline import audio_io
     from echo_tts_tpu.serve.config import load_config
 
     tmp = tempfile.mkdtemp(prefix="echo_bench_serve_")
-    voices = os.path.join(tmp, "voices")
-    os.makedirs(voices)
-    rng = np.random.default_rng(3)
-    # ~30 s voice -> the 640-latent bucket, matching the library stage
-    audio = (0.1 * rng.standard_normal((1, 640 * 2048))).astype(np.float32)
-    audio_io.write_wav(os.path.join(voices, "bench.wav"), audio, 44100)
-    cfg_srv = load_config({"AUDIO_VOICES_DIR": voices,
-                           "OUTPUT_AUDIO_DIR": os.path.join(tmp, "out"),
-                           "HF_TOKEN": "x"})
-    job = {"text": STREAM_TEXT, "stream": True,
-           "chunk_sizes": list(STREAM_BLOCKS), "seed": 0,
-           "speaker_voice": "bench.wav", "parameters": dict(sampler_kw)}
-    _serve_ttfa_once(models, job, cfg_srv)   # warm voice cache + programs
-    return 1e3 * float(np.median(
-        [_serve_ttfa_once(models, job, cfg_srv) for _ in range(n)]))
+    try:
+        voices = os.path.join(tmp, "voices")
+        os.makedirs(voices)
+        rng = np.random.default_rng(3)
+        # ~30 s voice -> the 640-latent bucket, matching the library stage
+        audio = (0.1 * rng.standard_normal((1, 640 * 2048))).astype(
+            np.float32)
+        audio_io.write_wav(os.path.join(voices, "bench.wav"), audio, 44100)
+        cfg_srv = load_config({"AUDIO_VOICES_DIR": voices,
+                               "OUTPUT_AUDIO_DIR": os.path.join(tmp, "out"),
+                               "HF_TOKEN": "x"})
+        job = {"text": STREAM_TEXT, "stream": True,
+               "chunk_sizes": list(STREAM_BLOCKS), "seed": 0,
+               "speaker_voice": "bench.wav", "parameters": dict(sampler_kw)}
+        _serve_ttfa_once(models, job, cfg_srv)  # warm voice cache + programs
+        return 1e3 * float(np.median(
+            [_serve_ttfa_once(models, job, cfg_srv) for _ in range(n)]))
+    finally:
+        # ~10 MB of voice + drained block WAVs per run; don't litter /tmp
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 BATCH_TEXTS = [

@@ -249,8 +249,21 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
     speaker_bucket = None
     if voice_path is not None:
         with timer.stage("voice_encode"):
-            spk_latent, spk_mask, speaker_bucket = get_voice_latent(
-                models, voice_path)
+            if batch_server is not None:
+                # Concurrent mode: an uncached voice encode is DEVICE work
+                # running on a pool thread — take the server's device lock
+                # so it never co-resides in HBM with a padded batch pass
+                # or a streaming job (the one-device-stream invariant,
+                # serve/server.py).  get_voice_latent re-checks its cache
+                # inside, so a second thread racing on the same voice
+                # waits here and then hits the cache instead of encoding
+                # twice.
+                with batch_server.device_lock:
+                    spk_latent, spk_mask, speaker_bucket = get_voice_latent(
+                        models, voice_path)
+            else:
+                spk_latent, spk_mask, speaker_bucket = get_voice_latent(
+                    models, voice_path)
 
     # Chunks run SEQUENTIALLY through the warm B=1 sampler program (the
     # repo's static-shape discipline: one compiled shape per bucket).
@@ -506,7 +519,7 @@ def handler(job: Dict, on_block=None, batch_server=None,
     try:
         job_input = job.get("input") or {}
         if job_input.get("action") == "health_check":
-            return health_check()
+            return health_check(cfg)
         if job_input.get("stream"):
             return synthesize_stream(job_input, cfg=cfg, on_block=on_block)
         return synthesize(job_input, cfg=cfg, batch_server=batch_server)
@@ -693,8 +706,18 @@ def serve_stdin_concurrent(cfg: ServeConfig, *, max_batch: int,
                                                cfg=cfg))))
             # completed futures are done emitting; drop them so a
             # long-lived worker's pending list stays O(in-flight), not
-            # O(total requests served)
-            pending = [f for f in pending if not f.done()]
+            # O(total requests served).  handler() envelopes job errors,
+            # so an exception here means EMIT itself failed (e.g. a
+            # broken stdout pipe) — that must be logged, not swallowed,
+            # or the worker keeps burning synthesis passes with every
+            # response lost.
+            still = []
+            for f in pending:
+                if not f.done():
+                    still.append(f)
+                elif f.exception() is not None:
+                    log.error("response emit failed: %r", f.exception())
+            pending = still
         for f in pending:
             f.result()
     finally:
