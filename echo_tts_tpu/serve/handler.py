@@ -719,7 +719,10 @@ def serve_stdin_concurrent(cfg: ServeConfig, *, max_batch: int,
                     log.error("response emit failed: %r", f.exception())
             pending = still
         for f in pending:
-            f.result()
+            try:
+                f.result()
+            except Exception as exc:  # same treatment as the mid-run drain
+                log.error("response emit failed: %r", exc)
     finally:
         pool.shutdown(wait=True)
         stream_pool.shutdown(wait=True)
