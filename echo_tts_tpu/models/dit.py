@@ -758,6 +758,11 @@ def dit_forward(
     replacement for the reference's in-place cache scaling).
     remat: rematerialize each layer on the backward pass (training at full
     size would otherwise save every layer's attention internals).
+    True = full remat (minimum memory); "dots" = checkpoint with the
+    dots_with_no_batch_dims_saveable policy — matmul outputs are SAVED
+    and only the cheap elementwise work re-runs, trading activation
+    memory for backward-pass FLOPs (measured on-chip in
+    docs/PERFORMANCE.md §12).
     Returns float32 (model.py:604).
     """
     s = x.shape[1]
@@ -809,7 +814,11 @@ def dit_forward(
         h = h + gate * _mlp(p["mlp"], h_norm)
         return h, None
 
-    h, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, h, xs)
+    if remat:
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if remat == "dots" else None)
+        body = jax.checkpoint(body, policy=policy)
+    h, _ = jax.lax.scan(body, h, xs)
 
     h = rms_norm(h, params["out_norm"], cfg.norm_eps)
     h = h @ params["out_proj"]["kernel"] + params["out_proj"]["bias"]

@@ -41,8 +41,16 @@ def flow_matching_loss(
     batch: dict,
     rng: jax.Array,
     dtype=jnp.bfloat16,
+    remat="full",
 ) -> jnp.ndarray:
     """MSE between predicted and target velocity.
+
+    remat: "full" (default; minimum memory — every layer re-forwards in
+    the backward pass) or "dots" (save matmul outputs, re-run only the
+    elementwise work: measured +5% wall at B=2 but OOMs at the
+    single-chip HBM-max batch, so full remat's bigger batch wins per
+    chip — use "dots" when the per-device batch is small anyway;
+    docs/PERFORMANCE.md §12).
 
     batch = {
       'latents':        (B, S, 80) f32 clean DAC-PCA latents,
@@ -70,7 +78,7 @@ def flow_matching_loss(
     v_pred = dit.dit_forward(
         params, cfg, x_t.astype(dtype), t.astype(dtype),
         batch["text_mask"], batch["speaker_mask"], kv_text, kv_speaker,
-        remat=True)
+        remat="dots" if remat == "dots" else True)
     sq = jnp.square(v_pred - v_target)
     mask = batch.get("latent_mask")
     if mask is None:

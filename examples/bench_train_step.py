@@ -58,10 +58,12 @@ def main():
         "speaker_mask": jnp.ones((B, SPK_LEN), bool),
     }
 
+    remat = os.environ.get("ECHO_BENCH_TRAIN_REMAT", "full")
+
     @jax.jit
     def grad_step(params, batch, rng):
         loss, grads = jax.value_and_grad(flow_matching_loss)(
-            params, cfg, batch, rng)
+            params, cfg, batch, rng, remat=remat)
         # consume grads into a scalar so the program's live outputs are
         # tiny (transferring 4.8 GB of grads over the tunnel would swamp
         # the timing; a real step feeds them to the sharded optimizer)
@@ -83,24 +85,25 @@ def main():
 
     # FLOP model: the DiT's hot parameters (~1.9e9 MAC-bearing weights at
     # S=640/T=2432 incl. attention; the same accounting as the sampler
-    # MFU note in docs/PERFORMANCE.md) x B*SEQ tokens; bwd = 2x fwd, and
-    # remat re-runs the fwd inside bwd => 4x fwd-FLOPs total.
+    # MFU note in docs/PERFORMANCE.md) x B*SEQ tokens; bwd = 2x fwd.
+    # Full remat re-runs the fwd inside bwd => 4x fwd-FLOPs total; the
+    # "dots" policy saves matmul outputs, so ~3x.
     fwd_tflop_per_token = 2 * 1.9e9 / 1e12
     tokens = B * SEQ
-    total_tflop = 4 * fwd_tflop_per_token * tokens
+    factor = 4 if remat == "full" else 3
+    total_tflop = factor * fwd_tflop_per_token * tokens
     tflops = total_tflop / step_s
 
     print(json.dumps({
         "metric": "train_grad_step_fullsize",
         "value": round(1e3 * step_s, 1),
         "unit": "ms",
-        "batch": B, "seq": SEQ,
+        "batch": B, "seq": SEQ, "remat": remat,
         "tokens_per_s": round(tokens / step_s, 1),
         "achieved_tflops": round(tflops, 1),
         "mfu_vs_bf16_peak": round(tflops / V5E_BF16_PEAK_TFLOPS, 3),
-        "note": "fwd+bwd with remat (4x fwd FLOPs); optimizer state "
-                "needs dp>=2 (19 GB AdamW moments) — sharded step is "
-                "dryrun-checked",
+        "note": "fwd+bwd; optimizer state needs dp>=2 (19 GB AdamW "
+                "moments) — sharded step is dryrun-checked",
     }))
 
 

@@ -45,6 +45,26 @@ def test_train_loop_descends_and_checkpoints(tmp_path):
     assert os.path.isdir(tmp_path / "step_00000006")
 
 
+def test_remat_dots_policy_matches_full_remat():
+    """remat='dots' changes the memory/compute schedule, never the math:
+    loss values and gradients must match the full-remat path."""
+    from echo_tts_tpu.train.step import flow_matching_loss
+
+    cfg = tiny_dit_config(blockwise=False)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    batch = _batch(jax.random.PRNGKey(7))
+    rng = jax.random.PRNGKey(3)
+
+    lf, gf = jax.value_and_grad(flow_matching_loss)(
+        params, cfg, batch, rng, dtype=jnp.float32, remat="full")
+    ld, gd = jax.value_and_grad(flow_matching_loss)(
+        params, cfg, batch, rng, dtype=jnp.float32, remat="dots")
+    np.testing.assert_allclose(float(lf), float(ld), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_train_loop_ema_and_cosine_schedule(tmp_path):
     """EMA weights track (but lag) the raw params, and the warmup+cosine
     schedule starts the LR at ~0 (first update barely moves params)."""
