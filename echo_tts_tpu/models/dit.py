@@ -45,7 +45,7 @@ torch's (out, in) by tools/convert.py):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -747,7 +747,7 @@ def dit_forward(
     kv_latent: Optional[KV] = None,
     latent_mask: Optional[jnp.ndarray] = None,
     speaker_scale_by_layer: Optional[jnp.ndarray] = None,
-    remat: bool = False,
+    remat: Union[bool, str] = False,
     mesh=None,
 ) -> jnp.ndarray:
     """One denoiser forward (reference: model.py:563-604).
@@ -759,10 +759,11 @@ def dit_forward(
     remat: rematerialize each layer on the backward pass (training at full
     size would otherwise save every layer's attention internals).
     True = full remat (minimum memory); "dots" = checkpoint with the
-    dots_with_no_batch_dims_saveable policy — matmul outputs are SAVED
-    and only the cheap elementwise work re-runs, trading activation
-    memory for backward-pass FLOPs (measured on-chip in
-    docs/PERFORMANCE.md §12).
+    dots_with_no_batch_dims_saveable policy — the WEIGHT matmuls
+    (x @ wq/w1/..., batch-dim-free dots) are saved, while the batched
+    attention einsums (QK^T, AV) and elementwise work still recompute;
+    trades activation memory for part of the re-forward (measured
+    on-chip in docs/PERFORMANCE.md §12).
     Returns float32 (model.py:604).
     """
     s = x.shape[1]

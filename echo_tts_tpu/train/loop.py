@@ -54,12 +54,14 @@ def train(
     checkpoint_every: int = 1000,
     log_every: int = 50,
     on_step: Optional[Callable[[int, float], None]] = None,
+    remat: str = "full",
 ) -> TrainState:
     """Run `num_steps` updates; returns the final TrainState.
 
     cosine_decay=True uses linear warmup (warmup_steps) + cosine decay
     over num_steps; ema_decay (e.g. 0.999) maintains EMA weights — the
-    weights diffusion models ship — checkpointed alongside params."""
+    weights diffusion models ship — checkpointed alongside params.
+    remat: 'full' (default) or 'dots' — see flow_matching_loss."""
     tx = make_optimizer(lr=lr, weight_decay=weight_decay,
                         warmup_steps=warmup_steps,
                         total_steps=num_steps if cosine_decay else 0)
@@ -67,7 +69,8 @@ def train(
                                ema=ema_decay is not None)
     step_fn, place_batch = make_train_step(
         cfg, tx, mesh, dtype=dtype,
-        ema_decay=ema_decay if ema_decay is not None else 0.999)
+        ema_decay=ema_decay if ema_decay is not None else 0.999,
+        remat=remat)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
 
     timer = StageTimer()

@@ -75,6 +75,8 @@ def flow_matching_loss(
         params, cfg, batch["text_ids"], batch["text_mask"])
     kv_speaker = dit.get_kv_cache_speaker(
         params, cfg, batch["speaker_latent"].astype(dtype))
+    if remat not in ("full", "dots"):
+        raise ValueError(f"remat={remat!r}: expected 'full' or 'dots'")
     v_pred = dit.dit_forward(
         params, cfg, x_t.astype(dtype), t.astype(dtype),
         batch["text_mask"], batch["speaker_mask"], kv_text, kv_speaker,
@@ -125,13 +127,14 @@ def create_train_state(params: dict, tx: optax.GradientTransformation,
 
 def make_train_step(cfg: EchoDiTConfig, tx: optax.GradientTransformation,
                     mesh: Mesh, dtype=jnp.bfloat16,
-                    ema_decay: float = 0.999):
+                    ema_decay: float = 0.999, remat: str = "full"):
     """Build the jitted sharded train step.
 
     Parameters and Adam moments carry TP shardings (from create_train_state),
     the batch is data-parallel over the mesh's `data` axis; GSPMD inserts the
     gradient all-reduce over `data` and the per-layer TP collectives over
-    `model`.
+    `model`.  `remat` forwards to flow_matching_loss — pick "dots" when
+    the per-device batch is small (docs/PERFORMANCE.md §12).
     """
     batch_sh = {
         "latents": NamedSharding(mesh, P(pmesh.DATA_AXIS, None, None)),
@@ -145,7 +148,7 @@ def make_train_step(cfg: EchoDiTConfig, tx: optax.GradientTransformation,
     @jax.jit
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         loss, grads = jax.value_and_grad(flow_matching_loss)(
-            state.params, cfg, batch, rng, dtype)
+            state.params, cfg, batch, rng, dtype, remat)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema

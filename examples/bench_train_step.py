@@ -59,6 +59,9 @@ def main():
     }
 
     remat = os.environ.get("ECHO_BENCH_TRAIN_REMAT", "full")
+    if remat not in ("full", "dots"):
+        raise ValueError(f"ECHO_BENCH_TRAIN_REMAT={remat!r}: "
+                         "expected 'full' or 'dots'")
 
     @jax.jit
     def grad_step(params, batch, rng):
@@ -83,26 +86,47 @@ def main():
         ts.append(time.perf_counter() - t0)
     step_s = float(np.median(ts))
 
-    # FLOP model: the DiT's hot parameters (~1.9e9 MAC-bearing weights at
-    # S=640/T=2432 incl. attention; the same accounting as the sampler
-    # MFU note in docs/PERFORMANCE.md) x B*SEQ tokens; bwd = 2x fwd.
-    # Full remat re-runs the fwd inside bwd => 4x fwd-FLOPs total; the
-    # "dots" policy saves matmul outputs, so ~3x.
-    fwd_tflop_per_token = 2 * 1.9e9 / 1e12
-    tokens = B * SEQ
-    factor = 4 if remat == "full" else 3
-    total_tflop = factor * fwd_tflop_per_token * tokens
-    tflops = total_tflop / step_s
+    # Useful-work MFU, PaLM-style: model flops of fwd + bwd (2x fwd),
+    # REMAT RE-FORWARDS EXCLUDED (they are overhead, not useful work —
+    # so full remat reads lower than its raw MXU busy-ness).  All counts
+    # derived from the config so the model can't drift from the shapes.
+    # (XLA's compiled cost_analysis() was tried and returns flops far
+    # below even one forward through this remote-compile stack — not
+    # usable here.)
+    def useful_fwd_tflop():
+        t_total = SEQ + TEXT_LEN + SPK_LEN // cfg.speaker_patch_size
+        per_layer_w = (5 * cfg.model_size ** 2
+                       + 3 * cfg.model_size * cfg.intermediate_size)
+        trunk_macs = cfg.num_layers * (per_layer_w
+                                       + 2 * t_total * cfg.model_size)
+        trunk = trunk_macs * B * SEQ
 
+        def enc(tokens, d, f, n_layers):
+            # causal attention ~ T/2 context x 2 einsums = T*d MACs/token
+            per_layer = 5 * d * d + 3 * d * f + tokens * d
+            return n_layers * per_layer * tokens
+
+        encoders = B * (
+            enc(TEXT_LEN, cfg.text_model_size,
+                cfg.text_intermediate_size, cfg.text_num_layers)
+            + enc(SPK_LEN // cfg.speaker_patch_size, cfg.speaker_model_size,
+                  cfg.speaker_intermediate_size, cfg.speaker_num_layers))
+        return 2 * (trunk + encoders) / 1e12
+
+    useful_tflop = 3 * useful_fwd_tflop()        # fwd + bwd(2x)
+    tflops = useful_tflop / step_s
+    tokens = B * SEQ
     print(json.dumps({
         "metric": "train_grad_step_fullsize",
         "value": round(1e3 * step_s, 1),
         "unit": "ms",
         "batch": B, "seq": SEQ, "remat": remat,
         "tokens_per_s": round(tokens / step_s, 1),
-        "achieved_tflops": round(tflops, 1),
+        "useful_tflop_per_step": round(useful_tflop, 2),
+        "useful_tflops_rate": round(tflops, 1),
         "mfu_vs_bf16_peak": round(tflops / V5E_BF16_PEAK_TFLOPS, 3),
-        "note": "fwd+bwd; optimizer state needs dp>=2 (19 GB AdamW "
+        "note": "MFU = fwd+bwd model flops only (remat re-forwards are "
+                "overhead); optimizer state needs dp>=2 (19 GB AdamW "
                 "moments) — sharded step is dryrun-checked",
     }))
 
