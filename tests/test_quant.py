@@ -204,6 +204,29 @@ def test_stream_synthesize_with_quantized_bundle(tiny_models):
         assert np.isfinite(c.audio).all()
 
 
+def test_run_batch_quantized_matches_quantized_serial(tiny_models):
+    """The (G*B)-row batched sampler over a W8A8 tree must equal the
+    quantized serial path — the batcher's batched==serial invariant has
+    to hold per MODE, not just for bf16 (dynamic per-token activation
+    quantization is row-local, so batching cannot change any row's
+    quantization decisions)."""
+    import dataclasses
+
+    from echo_tts_tpu.serve.batcher import BatchRequest, run_batch
+
+    qm = dataclasses.replace(
+        tiny_models,
+        dit_params=quant.quantize_dit_params(tiny_models.dit_params))
+    reqs = [BatchRequest("First quantized.", seed=11, request_id="a"),
+            BatchRequest("Second quantized.", seed=22, request_id="b")]
+    fast = {"num_steps": 2, "sequence_length": 8}
+    batched = run_batch(qm, reqs, fast)
+    for req, got in zip(reqs, batched):
+        alone = run_batch(qm, [req], fast)[0]
+        np.testing.assert_allclose(got.audio, alone.audio, atol=2e-5,
+                                   err_msg=req.request_id)
+
+
 def test_load_models_env_flag(monkeypatch):
     """ECHO_DIT_QUANT=int8 quantizes at load; the cache key includes the
     mode so a later different-mode load raises instead of serving the
