@@ -16,6 +16,7 @@ from . import config
 from .config import (DACConfig, EchoDiTConfig, SAMPLER_DEFAULTS,
                      base_dac_config, base_dit_config, tiny_dac_config,
                      tiny_dit_config)
+from .ops.quant import quantize_dit_params
 from .pipeline.pipeline import (EchoModels, ae_decode, ae_encode,
                                 ae_reconstruct, sample_pipeline,
                                 sample_pipeline_chunked)
@@ -32,6 +33,7 @@ __all__ = [
     "base_dit_config", "config",
     "iter_blockwise_euler_cfg_independent_guidances",
     "sample_blockwise_euler_cfg_independent_guidances",
+    "quantize_dit_params",
     "sample_euler_cfg_independent_guidances", "sample_pipeline",
     "sample_pipeline_chunked", "tiny_dac_config", "tiny_dit_config",
 ]
