@@ -75,7 +75,7 @@ def _load_from_dir(model_dir: str, dtype) -> EchoModels:
                    framework="np") as f:
         pca = convert_pca_state(
             f.get_tensor("pca_components"), f.get_tensor("pca_mean"),
-            float(f.get_tensor("latent_scale")))
+            f.get_tensor("latent_scale"))
 
     return EchoModels(dit_params=dit_params, dit_cfg=dit_cfg,
                       dac_params=dac_params, dac_cfg=dac_cfg, pca=pca,

@@ -211,14 +211,18 @@ def convert_dac_state(state: Mapping[str, np.ndarray],
 
 
 def convert_pca_state(components: np.ndarray, mean: np.ndarray,
-                      latent_scale: float) -> Dict:
-    """PCAState (reference: inference.py:86-99)."""
+                      latent_scale) -> Dict:
+    """PCAState (reference: inference.py:86-99).
+
+    `latent_scale` may be a python float or a 0-d/size-1 array (checkpoint
+    files store it as a tensor; `float()` on an ndim>0 array is a NumPy
+    deprecation headed for an error)."""
     import jax.numpy as jnp
 
     return {
         "components": jnp.asarray(components, dtype=jnp.float32),
         "mean": jnp.asarray(mean, dtype=jnp.float32),
-        "latent_scale": float(latent_scale),
+        "latent_scale": float(np.asarray(latent_scale).reshape(-1)[0]),
     }
 
 

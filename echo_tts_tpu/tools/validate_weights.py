@@ -205,7 +205,7 @@ def load_bundle_fp32(dit_path: str, dac_path: str, pca_path: str,
     with safe_open(pca_path, framework="np") as f:
         pca = convert_pca_state(
             f.get_tensor("pca_components"), f.get_tensor("pca_mean"),
-            float(np.asarray(f.get_tensor("latent_scale"))))
+            f.get_tensor("latent_scale"))
     return EchoModels(dit_params=dit_params, dit_cfg=dit_cfg,
                       dac_params=dac_params, dac_cfg=dac_cfg, pca=pca,
                       dtype=jnp.float32)
