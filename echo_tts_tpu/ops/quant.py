@@ -139,7 +139,23 @@ def quantize_dit_params(params: dict) -> dict:
 
 
 def dit_params_are_quantized(params: dict) -> bool:
-    return is_quantized(params["blocks"]["mlp"]["w2"])
+    """True iff every hot-loop leaf is quantized.
+
+    Checks all DIT_BLOCK_QUANT_KEYS (not a single probe leaf) and raises
+    on a mixed tree -- a partially quantized checkpoint (interrupted
+    transform, hand-built tree) must fail loudly instead of silently
+    serving mixed bf16/int8 numerics."""
+    states = {f"{g}.{k}": is_quantized(params["blocks"][g][k])
+              for g, k in DIT_BLOCK_QUANT_KEYS}
+    if all(states.values()):
+        return True
+    if not any(states.values()):
+        return False
+    quantized = sorted(k for k, v in states.items() if v)
+    raise ValueError(
+        "partially quantized DiT parameter tree: quantized leaves "
+        f"{quantized} but not the rest -- re-run quantize_dit_params "
+        "on the full tree")
 
 
 # ---------------------------------------------------------------------------

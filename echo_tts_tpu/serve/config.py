@@ -25,6 +25,10 @@ class ServeConfig:
     output_dir: str
     model_dir: Optional[str]
     issues: List[str]
+    # JSON metrics snapshot written after each handled job when set
+    # (ECHO_METRICS_FILE; serve/metrics.py) — pull-friendly export with
+    # no client-library dependency.
+    metrics_file: Optional[str] = None
 
     @property
     def s3_configured(self) -> bool:
@@ -67,6 +71,7 @@ def load_config(env: Optional[Dict[str, str]] = None) -> ServeConfig:
         output_dir=output_dir,
         model_dir=model_dir,
         issues=issues,
+        metrics_file=env.get("ECHO_METRICS_FILE"),
     )
 
 

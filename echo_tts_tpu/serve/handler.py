@@ -37,6 +37,7 @@ from ..pipeline import audio_io, dsp
 from ..pipeline.pipeline import EchoModels, sample_pipeline
 from ..sampler.euler import sample_euler_cfg_independent_guidances
 from ..utils.profiling import StageTimer
+from . import metrics
 from . import models as models_mod
 from .config import AUDIO_EXTENSIONS, ServeConfig, device_info, load_config, scan_voices
 # Shape buckets live in serve/presets.py (repo rule); bound here so tests
@@ -152,12 +153,16 @@ def _resolve_voice(cfg: ServeConfig, speaker_voice: str) -> str:
     return path
 
 
-def health_check(cfg: Optional[ServeConfig] = None) -> Dict:
+def health_check(cfg: Optional[ServeConfig] = None,
+                 batch_server=None) -> Dict:
     """Operational status without synthesis
-    (reference: handler.py:609-679)."""
+    (reference: handler.py:609-679), extended with the metrics snapshot
+    and — in concurrent mode — the micro-batch server's queue stats
+    (depth/in-flight/expired/...; serve/server.py), so starvation and
+    backpressure are VISIBLE, not inferred."""
     cfg = cfg or load_config()
     voices = scan_voices(cfg.voices_dir)
-    return {
+    out = {
         "status": "healthy" if not cfg.issues else "degraded",
         "config_issues": cfg.issues,
         "models_loaded": models_mod.models_loaded(),
@@ -168,9 +173,14 @@ def health_check(cfg: Optional[ServeConfig] = None) -> Dict:
         "output_dir": cfg.output_dir,
         "ffmpeg": audio_io.ffmpeg_available(),
         # which DiT the worker serves (bf16 parity vs W8A8 non-parity) —
-        # quality triage needs this visible, not inferred from env
-        "dit_quant": models_mod._dit_quant_mode(),
+        # quality triage needs this visible; derived from the LOADED
+        # bundle's parameter tree, not the env var (serve/models.py)
+        "dit_quant": models_mod.served_quant_mode(),
+        "metrics": metrics.snapshot(),
     }
+    if batch_server is not None:
+        out["batch_queue"] = batch_server.stats()
+    return out
 
 
 def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
@@ -338,6 +348,14 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
             audio, SAMPLE_RATE, cfg, request_id,
             session_id=job_input.get("session_id"))
 
+    gen_seconds = time.time() - t_start
+    rtf = round((audio.shape[-1] / SAMPLE_RATE) / max(gen_seconds, 1e-9), 4)
+    stage_timings = timer.report()
+    for stage, rep in stage_timings.items():
+        metrics.histogram(f"stage_{stage}_seconds").observe(rep["seconds"])
+    metrics.histogram("request_seconds").observe(gen_seconds)
+    metrics.histogram("rtf").observe(rtf)
+
     return {
         "status": "success",
         **upload,
@@ -350,10 +368,9 @@ def synthesize(job_input: Dict, cfg: Optional[ServeConfig] = None,
             "sampler": sample_params,
             "speaker_voice": voice_name,
             "device": device_info()["platform"],
-            "generation_time_seconds": round(time.time() - t_start, 3),
-            "stage_timings": timer.report(),
-            "rtf": round((audio.shape[-1] / SAMPLE_RATE)
-                         / max(time.time() - t_start, 1e-9), 4),
+            "generation_time_seconds": round(gen_seconds, 3),
+            "stage_timings": stage_timings,
+            "rtf": rtf,
         },
     }
 
@@ -462,6 +479,9 @@ def iter_synthesize_stream(job_input: Dict,
             "is_last": chunk.is_last,
             "elapsed_seconds": round(time.time() - t_start, 3),
         }
+        if not blocks:  # first audio out the door — the stream's TTFA
+            metrics.histogram("ttfa_seconds").observe(
+                info["elapsed_seconds"])
         blocks.append(info)
         pieces.append(chunk.audio)
         yield info
@@ -471,6 +491,9 @@ def iter_synthesize_stream(job_input: Dict,
     upload = save_and_upload_audio(audio, SAMPLE_RATE, cfg, request_id,
                                    session_id=session_id)
     total = time.time() - t_start
+    metrics.histogram("stream_seconds").observe(total)
+    metrics.histogram("streamed_rtf").observe(
+        round((audio.shape[-1] / SAMPLE_RATE) / max(total, 1e-9), 4))
     yield {
         "event": "final",
         "status": "success",
@@ -518,17 +541,38 @@ def handler(job: Dict, on_block=None, batch_server=None,
     concurrent intake loop passes its own config through."""
     try:
         job_input = job.get("input") or {}
-        if job_input.get("action") == "health_check":
-            return health_check(cfg)
+        action = job_input.get("action")
+        if action == "health_check":
+            return health_check(cfg, batch_server=batch_server)
+        if action == "metrics":
+            # metrics-only poll: cheaper than a full health check and
+            # safe to hit at high frequency (no dir scans / device calls)
+            out = {"metrics": metrics.snapshot()}
+            if batch_server is not None:
+                out["batch_queue"] = batch_server.stats()
+            return out
+        metrics.counter("requests_total").inc()
         if job_input.get("stream"):
-            return synthesize_stream(job_input, cfg=cfg, on_block=on_block)
-        return synthesize(job_input, cfg=cfg, batch_server=batch_server)
+            out = synthesize_stream(job_input, cfg=cfg, on_block=on_block)
+        else:
+            out = synthesize(job_input, cfg=cfg, batch_server=batch_server)
+        return out
     except Exception as exc:
+        metrics.counter("errors_total").inc()
+        metrics.counter(f"errors_{type(exc).__name__}").inc()
         return {
             "error": str(exc),
             "error_type": type(exc).__name__,
             "traceback": traceback.format_exc(),
         }
+    finally:
+        if cfg is not None and cfg.metrics_file:
+            try:
+                extra = ({"batch_queue": batch_server.stats()}
+                         if batch_server is not None else None)
+                metrics.write_metrics_file(cfg.metrics_file, extra=extra)
+            except OSError as exc:  # never fail a job on metrics IO
+                log.warning("metrics file write failed: %r", exc)
 
 
 def handler_generator(job: Dict):
@@ -816,8 +860,9 @@ def main(argv: Optional[List[str]] = None) -> None:
                 continue
             # streaming jobs emit one JSON line per audio block as it is
             # produced, then the final envelope
-            out = handler(job, on_block=lambda b: print(json.dumps(b),
-                                                        flush=True))
+            out = handler(job, cfg=cfg,
+                          on_block=lambda b: print(json.dumps(b),
+                                                   flush=True))
             print(json.dumps(out), flush=True)
 
 

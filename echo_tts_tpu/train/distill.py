@@ -240,7 +240,13 @@ def distill(
 
     it = iter(batches)
     for i in range(num_steps):
-        batch = place_batch(next(it))
+        try:
+            batch = place_batch(next(it))
+        except StopIteration:
+            raise ValueError(
+                f"batches exhausted after {i} of {num_steps} steps — pass "
+                "an infinite iterator (e.g. itertools.cycle) or lower "
+                "num_steps") from None
         rng, step_rng = jax.random.split(rng)
         state, loss = step_fn(state, teacher, batch, step_rng)
         if on_step is not None:

@@ -78,7 +78,13 @@ def train(
     t0 = time.time()
     for i in range(num_steps):
         with timer.stage("data"):
-            batch = place_batch(next(it))
+            try:
+                batch = place_batch(next(it))
+            except StopIteration:
+                raise ValueError(
+                    f"batches exhausted after {i} of {num_steps} steps — "
+                    "pass an infinite iterator (e.g. itertools.cycle) or "
+                    "lower num_steps") from None
         rng, step_rng = jax.random.split(rng)
         with timer.stage("step"):
             state, loss = step_fn(state, batch, step_rng)

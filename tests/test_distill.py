@@ -116,6 +116,22 @@ def test_quant_aware_distill_descends_and_matches_int8_numerics():
     assert losses[-1] < losses[0]
 
 
+def test_distill_exhausted_batches_is_clear_error():
+    """A batches iterable shorter than num_steps must raise a clear
+    ValueError, not a bare StopIteration mid-training."""
+    import pytest
+
+    from echo_tts_tpu.train.distill import distill
+
+    cfg = tiny_dit_config(blockwise=False)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    mesh = pmesh.make_mesh(dp=4, tp=2)
+    with pytest.raises(ValueError, match="exhausted after 2 of 5"):
+        distill(cfg, params, [_batch(jax.random.PRNGKey(7))] * 2, mesh,
+                num_steps=5, num_student_steps=4, substeps=1,
+                dtype=jnp.float32)
+
+
 def test_few_step_params_take_the_plain_path():
     kw = few_step_sampler_params(8)
     plan = build_step_plan(kw["num_steps"], kw["cfg_min_t"],

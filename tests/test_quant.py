@@ -97,6 +97,19 @@ def test_quantize_dit_params_touches_only_hot_leaves(params):
     assert qp2["blocks"]["mlp"]["w2"] is qp["blocks"]["mlp"]["w2"]
 
 
+def test_partially_quantized_tree_fails_loudly(params):
+    """A mixed bf16/int8 tree (interrupted transform, hand-built
+    checkpoint) must raise, not report fully-quantized from a single
+    probe leaf and serve silently mixed numerics."""
+    qp = quant.quantize_dit_params(params)
+    mixed = dict(qp)
+    mixed["blocks"] = dict(qp["blocks"])
+    mixed["blocks"]["mlp"] = dict(qp["blocks"]["mlp"])
+    mixed["blocks"]["mlp"]["w1"] = params["blocks"]["mlp"]["w1"]  # de-quant one
+    with pytest.raises(ValueError, match="partially quantized"):
+        quant.dit_params_are_quantized(mixed)
+
+
 def _forward(p, x, t, kvs, masks):
     kv_text, kv_speaker = kvs
     text_mask, speaker_mask = masks
