@@ -50,7 +50,25 @@ def _serving_dac_config():
     return dataclasses.replace(cfg, snake_approx=approx) if approx else cfg
 
 
+def _is_bundle_checkpoint(model_dir: str) -> bool:
+    """True for an orbax EchoModels bundle (tools/checkpoint.py layout:
+    config.json + params/) as opposed to reference-format safetensors."""
+    return (os.path.isfile(os.path.join(model_dir, "config.json"))
+            and os.path.isdir(os.path.join(model_dir, "params")))
+
+
 def _load_from_dir(model_dir: str, dtype) -> EchoModels:
+    # Orbax bundle checkpoints load directly — this is how a DISTILLED
+    # student (train/recipe.py) or any framework-trained model reaches
+    # serving without a detour through the reference's safetensors format.
+    # The bundle carries its own configs (incl. snake_approx as saved).
+    if _is_bundle_checkpoint(model_dir):
+        from ..tools.checkpoint import load_checkpoint
+        t0 = time.time()
+        bundle = load_checkpoint(model_dir, dtype=dtype)
+        log.info("loaded orbax bundle in %.1fs", time.time() - t0)
+        return bundle
+
     from safetensors import safe_open
 
     from ..tools.convert import load_dit_from_safetensors
@@ -168,6 +186,20 @@ def load_models(model_dir: Optional[str] = None,
 
 def models_loaded() -> bool:
     return _MODELS is not None
+
+
+def served_quant_mode() -> str:
+    """The quant mode of the DiT actually being served: derived from the
+    LOADED bundle's parameter tree when one exists (the env var can change
+    after load, or a bundle can be injected directly — health must report
+    what runs, not what the environment says); falls back to the
+    ECHO_DIT_QUANT env var before any load."""
+    with _CACHE_LOCK:
+        m = _MODELS
+    if m is None:
+        return _dit_quant_mode()
+    from ..ops.quant import dit_params_are_quantized
+    return "int8" if dit_params_are_quantized(m.dit_params) else "none"
 
 
 def clear_models() -> None:
