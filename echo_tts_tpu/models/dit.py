@@ -599,19 +599,24 @@ def _joint_attention_static(
     static_mask: jnp.ndarray,     # (GB, T) bool
     col_scale: jnp.ndarray,       # (T,) f32
     freqs_q: jnp.ndarray,
-    k_static: jnp.ndarray,        # (B, T, H, Dh)
-    v_static: jnp.ndarray,
+    k_static: jnp.ndarray,        # (B, T, H, Dh) — bf16, or int8 with
+    v_static: jnp.ndarray,        #   kv_scales (ops/quant.py)
     *,
     num_heads: int,
     eps: float,
     impl: str,
     mesh=None,
+    kv_scales=None,               # ((B,T,H), (B,T,H)) f32 int8 scales
 ) -> jnp.ndarray:
     """Joint attention over [self | pre-concatenated static KV] — the hot
     sampler path.  Same math as _joint_attention, but text/speaker/latent
     are already concatenated (concat_static_kv) so nothing per-segment is
     materialized inside the layer scan; the speaker-KV scale arrives as a
-    per-column multiplier on logits (K·s) and weights (V·s)."""
+    per-column multiplier on logits (K·s) and weights (V·s).  Int8 static
+    KV (quantize_kv_int8) rides the same identity: its per-token-per-head
+    dequant scales fold into the K/V column multipliers, so the KV is
+    read from HBM at half width and cast in VMEM (pallas) or at the
+    einsum input (xla)."""
     gb, s, d = x.shape
     b = k_static.shape[0]
     g = gb // b
@@ -633,13 +638,27 @@ def _joint_attention_static(
         if impl.startswith("pallas_shmap"):
             out = fused_joint_attention_sharded(
                 q, k_self, v_self, k_static, v_static, static_mask,
-                col_scale, sm_scale=scale, mesh=mesh, interpret=interp)
+                col_scale, sm_scale=scale, mesh=mesh, interpret=interp,
+                kv_scales=kv_scales)
         else:
             out = fused_joint_attention(
                 q, k_self, v_self, k_static, v_static, static_mask,
-                col_scale, sm_scale=scale, interpret=interp)
+                col_scale, sm_scale=scale, interpret=interp,
+                kv_scales=kv_scales)
         out = out.reshape(gb, s, d)
         return qdot(out * jax.nn.sigmoid(gate), p["wo"])
+
+    if kv_scales is not None:
+        ks, vs = kv_scales
+        # (B,T,H) -> (1,B,1,1·H? ) broadcast over (g,b,h,s,t)
+        k_col = col_scale * ks.astype(jnp.float32).transpose(0, 2, 1)[
+            None, :, :, None, :]
+        v_col = col_scale * vs.astype(jnp.float32).transpose(0, 2, 1)[
+            None, :, :, None, :]
+        k_static = k_static.astype(q.dtype)
+        v_static = v_static.astype(q.dtype)
+    else:
+        k_col = v_col = col_scale
 
     qg = q.reshape(g, b, s, num_heads, dh)
     logits_self = jnp.einsum(
@@ -648,14 +667,14 @@ def _joint_attention_static(
     logits_st = jnp.einsum(
         "gbshd,bthd->gbhst", qg, k_static,
         preferred_element_type=jnp.float32) * scale
-    logits_st = logits_st * col_scale
+    logits_st = logits_st * k_col
     logits_st = jnp.where(
         static_mask.reshape(g, b, 1, 1, -1), logits_st, float("-inf"))
 
     logits = jnp.concatenate([logits_self, logits_st], axis=-1)
     weights = jax.nn.softmax(logits, axis=-1)
     w_self = weights[..., :s].astype(v_self.dtype)
-    w_st = (weights[..., s:] * col_scale).astype(v_static.dtype)
+    w_st = (weights[..., s:] * v_col).astype(v_static.dtype)
     out = jnp.einsum("gbhst,gbthd->gbshd", w_self,
                      v_self.reshape(g, b, s, num_heads, dh))
     out = out + jnp.einsum("gbhst,bthd->gbshd", w_st, v_static)
@@ -694,9 +713,15 @@ def dit_forward_static(
             raise ValueError("traced start_pos requires static max_pos")
         freqs_q = jax.lax.dynamic_slice_in_dim(
             _freqs(cfg.head_dim, max_pos), start_pos, s, axis=0)
-    t_static = kv_static[0].shape[2]
+    # kv_static is the (k, v) tuple from concat_static_kv, or the int8
+    # dict from ops/quant.quantize_kv_int8 (opt-in: halves the KV's HBM
+    # footprint and read bandwidth; scales fold into the column scale).
+    from ..ops.quant import kv_is_quantized
+    kv_q8 = kv_is_quantized(kv_static)
+    k_lead = kv_static["k8"] if kv_q8 else kv_static[0]
+    t_static = k_lead.shape[2]
     impl = _select_attention_impl(cfg, s, t_static, cfg.head_dim,
-                                  mesh=mesh, kv_batch=kv_static[0].shape[1],
+                                  mesh=mesh, kv_batch=k_lead.shape[1],
                                   q_batch=x.shape[0])
 
     cond = get_timestep_embedding(t, cfg.timestep_embed_size)
@@ -710,8 +735,13 @@ def dit_forward_static(
     if speaker_scale_by_layer is None:
         speaker_scale_by_layer = jnp.ones((cfg.num_layers,), jnp.float32)
 
-    xs = dict(p=params["blocks"], k_st=kv_static[0], v_st=kv_static[1],
-              spk_scale=speaker_scale_by_layer)
+    if kv_q8:
+        xs = dict(p=params["blocks"], k_st=kv_static["k8"],
+                  v_st=kv_static["v8"], ks=kv_static["ks"],
+                  vs=kv_static["vs"], spk_scale=speaker_scale_by_layer)
+    else:
+        xs = dict(p=params["blocks"], k_st=kv_static[0], v_st=kv_static[1],
+                  spk_scale=speaker_scale_by_layer)
     spk_cols_f = spk_cols.astype(jnp.float32)
 
     def body(h, xs_i):
@@ -722,7 +752,8 @@ def dit_forward_static(
         h = h + gate * _joint_attention_static(
             p["attn"], h_norm, static_mask, col_scale, freqs_q,
             xs_i["k_st"], xs_i["v_st"],
-            num_heads=cfg.num_heads, eps=cfg.norm_eps, impl=impl, mesh=mesh)
+            num_heads=cfg.num_heads, eps=cfg.norm_eps, impl=impl, mesh=mesh,
+            kv_scales=(xs_i["ks"], xs_i["vs"]) if kv_q8 else None)
         h_norm, gate = low_rank_adaln(h, cond, p["mlp_adaln"], cfg.norm_eps)
         h = h + gate * _mlp(p["mlp"], h_norm)
         return h, None
@@ -758,12 +789,16 @@ def dit_forward(
     replacement for the reference's in-place cache scaling).
     remat: rematerialize each layer on the backward pass (training at full
     size would otherwise save every layer's attention internals).
-    True = full remat (minimum memory); "dots" = checkpoint with the
-    dots_with_no_batch_dims_saveable policy — the WEIGHT matmuls
+    True/"full" = full remat (minimum memory); "dots" = checkpoint with
+    the dots_with_no_batch_dims_saveable policy — the WEIGHT matmuls
     (x @ wq/w1/..., batch-dim-free dots) are saved, while the batched
     attention einsums (QK^T, AV) and elementwise work still recompute;
-    trades activation memory for part of the re-forward (measured
-    on-chip in docs/PERFORMANCE.md §12).
+    "dots_all" = dots_saveable (ALSO saves the batched attention
+    einsums — most memory of the remat modes, least recompute);
+    "attn" = save_only_these_names("attn_out"): each layer's attention
+    OUTPUT is saved so the backward never re-runs attention forward,
+    while the (cheap, elementwise-heavy) AdaLN/MLP work recomputes.
+    All modes measured on-chip in docs/PERFORMANCE.md §12.
     Returns float32 (model.py:604).
     """
     s = x.shape[1]
@@ -805,20 +840,35 @@ def dit_forward(
         p = xs_i["p"]
         kv_lat = (xs_i["k_lat"], xs_i["v_lat"]) if have_latent else None
         h_norm, gate = low_rank_adaln(h, cond, p["attn_adaln"], cfg.norm_eps)
-        h = h + gate * _joint_attention(
+        attn_out = _joint_attention(
             p["attn"], h_norm, text_mask, spk_mask, latent_mask, freqs_q,
             (xs_i["k_text"], xs_i["v_text"]), (xs_i["k_spk"], xs_i["v_spk"]),
             kv_lat, xs_i["spk_scale"],
             num_heads=cfg.num_heads, eps=cfg.norm_eps, impl=impl, mesh=mesh,
         )
+        # no-op marker outside remat; the "attn" policy keys on it
+        # (jax 0.9 removed the jax.ad_checkpoint ATTRIBUTE, but the
+        # module itself still imports)
+        from jax.ad_checkpoint import checkpoint_name
+        attn_out = checkpoint_name(attn_out, "attn_out")
+        h = h + gate * attn_out
         h_norm, gate = low_rank_adaln(h, cond, p["mlp_adaln"], cfg.norm_eps)
         h = h + gate * _mlp(p["mlp"], h_norm)
         return h, None
 
     if remat:
-        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                  if remat == "dots" else None)
-        body = jax.checkpoint(body, policy=policy)
+        policies = {
+            True: None, "full": None,
+            "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            "dots_all": jax.checkpoint_policies.dots_saveable,
+            "attn": jax.checkpoint_policies.save_only_these_names(
+                "attn_out"),
+        }
+        if remat not in policies:
+            raise ValueError(
+                f"remat={remat!r}: expected one of "
+                f"{sorted(k for k in policies if isinstance(k, str))}")
+        body = jax.checkpoint(body, policy=policies[remat])
     h, _ = jax.lax.scan(body, h, xs)
 
     h = rms_norm(h, params["out_norm"], cfg.norm_eps)

@@ -50,22 +50,26 @@ FLASH_BLOCK_Q = 256
 FLASH_BLOCK_KV = 1024
 
 
-def _kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref, scale_ref,
-            out_ref, *, sm_scale: float):
+def _kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref, kscale_ref,
+            vscale_ref, out_ref, *, sm_scale: float):
     # blocks are (1, 1, seq, Dh); bias block is the full (GB, T) array and
     # is indexed by the batch program id (a (1, T) row slice keeps the
     # sublane dim tiled-legal where a (1, T) BlockSpec would not be).
-    # scale_ref (1, T) is the per-key-column multiplicative scale — the
-    # functional form of the reference's speaker K/V cache scaling
-    # (inference.py:408-414): multiply logits (≡ K·s) and the softmax
-    # weights (≡ V·s) by the column scale.
+    # kscale_ref/vscale_ref (1, 1, T) carry per-(batch, head, column)
+    # multiplicative scales — the functional form of BOTH the reference's
+    # speaker K/V cache scaling (inference.py:408-414) and the int8
+    # static-KV dequantization (ops/quant.py:quantize_kv_int8): multiply
+    # logits (≡ K·s) and the softmax weights (≡ V·s) by the column scale.
+    # k/v static tiles may arrive int8 — the cast to the compute dtype
+    # happens HERE, in VMEM, after the (halved) HBM read.
     q = q_ref[0, 0]
     k_self = ks_ref[0, 0]
     v_self = vs_ref[0, 0]
-    k_st = kt_ref[0, 0]
-    v_st = vt_ref[0, 0]
+    k_st = kt_ref[0, 0].astype(q.dtype)
+    v_st = vt_ref[0, 0].astype(q.dtype)
     bias = bias_ref[pl.ds(pl.program_id(0), 1), :]  # (1, T)
-    col_scale = scale_ref[0][None, :]               # (1, T)
+    k_scale = kscale_ref[0, 0][None, :]             # (1, T)
+    v_scale = vscale_ref[0, 0][None, :]             # (1, T)
 
     logits_self = jax.lax.dot_general(
         q, k_self, (((1,), (1,)), ((), ())),
@@ -73,7 +77,7 @@ def _kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref, scale_ref,
     logits_st = jax.lax.dot_general(
         q, k_st, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale
-    logits_st = logits_st * col_scale + bias
+    logits_st = logits_st * k_scale + bias
 
     m = jnp.maximum(jnp.max(logits_self, axis=-1, keepdims=True),
                     jnp.max(logits_st, axis=-1, keepdims=True))
@@ -86,14 +90,15 @@ def _kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref, scale_ref,
         e_self.astype(v_self.dtype), v_self, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     acc = acc + jax.lax.dot_general(
-        (e_st * col_scale).astype(v_st.dtype), v_st,
+        (e_st * v_scale).astype(v_st.dtype), v_st,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     out_ref[0, 0] = (acc / denom).astype(out_ref.dtype)
 
 
-def _flash_kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref, scale_ref,
+def _flash_kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref,
+                  kscale_ref, vscale_ref,
                   out_ref, m_ref, l_ref, acc_ref, *,
                   sm_scale: float, n_self: int, n_kv: int, s_kv: int,
                   block_t: int):
@@ -154,17 +159,20 @@ def _flash_kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref, scale_ref,
 
     @pl.when(ki >= n_self)
     def _static_tile():
-        k = kt_ref[0, 0]
-        v = vt_ref[0, 0]
+        k = kt_ref[0, 0].astype(q.dtype)   # int8 KV casts in VMEM
+        v = vt_ref[0, 0].astype(q.dtype)
         ti = ki - n_self
         bias = bias_ref[pl.ds(bi, 1),
                         pl.ds(ti * block_t, block_t)]       # (1, block_t)
-        cs = scale_ref[pl.ds(0, 1), pl.ds(ti * block_t, block_t)]
+        cs_k = kscale_ref[0, pl.ds(0, 1),
+                          pl.ds(ti * block_t, block_t)]     # (1, block_t)
+        cs_v = vscale_ref[0, pl.ds(0, 1),
+                          pl.ds(ti * block_t, block_t)]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
-        logits = logits * cs + bias
-        online_update(logits, v, cs)
+        logits = logits * cs_k + bias
+        online_update(logits, v, cs_v)
 
     @pl.when(ki == n_kv - 1)
     def _finalize():
@@ -207,10 +215,11 @@ def fits_vmem_flash(s: int, t_static: int, head_dim: int,
     return kv + tiles + q_out + bias_b < budget_bytes
 
 
-def _pallas_attention_flash(qt, kst, vst, ktt, vtt, bias, col_scale,
+def _pallas_attention_flash(qt, kst, vst, ktt, vtt, bias, kscale, vscale,
                             *, sm_scale: float, block_q: int, block_t: int,
                             interpret: bool) -> jnp.ndarray:
-    """Blocked pallas_call on the transposed (batch, H, seq, Dh) layout."""
+    """Blocked pallas_call on the transposed (batch, H, seq, Dh) layout.
+    kscale/vscale: (B, H, T) f32 per-(batch, head, column) scales."""
     gb, h, s, dh = qt.shape
     b = ktt.shape[0]
 
@@ -230,7 +239,9 @@ def _pallas_attention_flash(qt, kst, vst, ktt, vtt, bias, col_scale,
         vtt = jnp.pad(vtt, pad)
         bias = jnp.pad(bias, [(0, 0), (0, t_pad - t_in)],
                        constant_values=MASK_VALUE)
-        col_scale = jnp.pad(col_scale, [(0, 0), (0, t_pad - t_in)])
+        spad = [(0, 0), (0, 0), (0, t_pad - t_in)]
+        kscale = jnp.pad(kscale, spad)
+        vscale = jnp.pad(vscale, spad)
 
     n_q = s_pad_q // block_q
     n_self = s_pad_kv // block_t
@@ -265,7 +276,11 @@ def _pallas_attention_flash(qt, kst, vst, ktt, vtt, bias, col_scale,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, t_pad), lambda bi, hi, qi, ki: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad), lambda bi, hi, qi, ki: (0, 0),
+            pl.BlockSpec((1, 1, t_pad),
+                         lambda bi, hi, qi, ki: (bi % b, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad),
+                         lambda bi, hi, qi, ki: (bi % b, hi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, dh),
@@ -278,13 +293,14 @@ def _pallas_attention_flash(qt, kst, vst, ktt, vtt, bias, col_scale,
             pltpu.VMEM((block_q, dh), jnp.float32),     # running PV acc
         ],
         interpret=interpret,
-    )(qt, kst, vst, ktt, vtt, bias, col_scale)
+    )(qt, kst, vst, ktt, vtt, bias, kscale, vscale)
     return out[:, :, :s]
 
 
-def _pallas_attention(qt, kst, vst, ktt, vtt, bias, col_scale,
+def _pallas_attention(qt, kst, vst, ktt, vtt, bias, kscale, vscale,
                       *, sm_scale: float, interpret: bool) -> jnp.ndarray:
-    """The raw pallas_call on transposed (batch, H, seq, Dh) layout."""
+    """The raw pallas_call on transposed (batch, H, seq, Dh) layout.
+    kscale/vscale: (B, H, T) f32 per-(batch, head, column) scales."""
     gb, h, s, dh = qt.shape
     b, _, t_pad, _ = ktt.shape
     return pl.pallas_call(
@@ -305,30 +321,36 @@ def _pallas_attention(qt, kst, vst, ktt, vtt, bias, col_scale,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, t_pad), lambda bi, hi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad), lambda bi, hi: (0, 0),
+            pl.BlockSpec((1, 1, t_pad), lambda bi, hi: (bi % b, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad), lambda bi, hi: (bi % b, hi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((gb, h, s, dh), qt.dtype),
         interpret=interpret,
-    )(qt, kst, vst, ktt, vtt, bias, col_scale)
+    )(qt, kst, vst, ktt, vtt, bias, kscale, vscale)
 
 
-def _xla_attention(qt, kst, vst, ktt, vtt, bias, col_scale,
+def _xla_attention(qt, kst, vst, ktt, vtt, bias, kscale, vscale,
                    *, sm_scale: float) -> jnp.ndarray:
     """XLA einsum twin of `_kernel` on the same transposed layout — used as
     the differentiable reference for the custom VJP (the backward pass
-    recomputes through this, i.e. rematerialized attention grads)."""
+    recomputes through this, i.e. rematerialized attention grads).
+    kscale/vscale: (B, H, T) f32."""
     gb, h, s, dh = qt.shape
     b = ktt.shape[0]
     g = gb // b
     qg = qt.reshape(g, b, h, s, dh)
+    ktc = ktt.astype(qt.dtype)   # int8 static KV casts here (exact)
+    vtc = vtt.astype(qt.dtype)
     ls = jnp.einsum("gbhsd,gbhtd->gbhst", qg, kst.reshape(g, b, h, s, dh),
                     preferred_element_type=jnp.float32) * sm_scale
-    lt = jnp.einsum("gbhsd,bhtd->gbhst", qg, ktt,
+    lt = jnp.einsum("gbhsd,bhtd->gbhst", qg, ktc,
                     preferred_element_type=jnp.float32) * sm_scale
-    lt = lt * col_scale[0] + bias.reshape(g, b, 1, 1, -1)
+    lt = (lt * kscale[None, :, :, None, :]
+          + bias.reshape(g, b, 1, 1, -1))
     m = jnp.maximum(jnp.max(ls, axis=-1, keepdims=True),
                     jnp.max(lt, axis=-1, keepdims=True))
     e_self = jnp.exp(ls - m)
@@ -338,9 +360,10 @@ def _xla_attention(qt, kst, vst, ktt, vtt, bias, col_scale,
     acc = jnp.einsum("gbhst,gbhtd->gbhsd", e_self.astype(vst.dtype),
                      vst.reshape(g, b, h, s, dh),
                      preferred_element_type=jnp.float32)
-    acc = acc + jnp.einsum("gbhst,bhtd->gbhsd",
-                           (e_st * col_scale[0]).astype(vtt.dtype), vtt,
-                           preferred_element_type=jnp.float32)
+    acc = acc + jnp.einsum(
+        "gbhst,bhtd->gbhsd",
+        (e_st * vscale[None, :, :, None, :]).astype(vtc.dtype), vtc,
+        preferred_element_type=jnp.float32)
     return (acc / denom).astype(qt.dtype).reshape(gb, h, s, dh)
 
 
@@ -354,18 +377,20 @@ def _fused_fn(sm_scale: float, interpret: bool,
     dispatch picks the fused path."""
 
     @jax.custom_vjp
-    def fused(qt, kst, vst, ktt, vtt, bias, col_scale):
+    def fused(qt, kst, vst, ktt, vtt, bias, kscale, vscale):
         if flash_blocks is not None:
             return _pallas_attention_flash(
-                qt, kst, vst, ktt, vtt, bias, col_scale, sm_scale=sm_scale,
+                qt, kst, vst, ktt, vtt, bias, kscale, vscale,
+                sm_scale=sm_scale,
                 block_q=flash_blocks[0], block_t=flash_blocks[1],
                 interpret=interpret)
-        return _pallas_attention(qt, kst, vst, ktt, vtt, bias, col_scale,
-                                 sm_scale=sm_scale, interpret=interpret)
+        return _pallas_attention(qt, kst, vst, ktt, vtt, bias, kscale,
+                                 vscale, sm_scale=sm_scale,
+                                 interpret=interpret)
 
-    def fwd(qt, kst, vst, ktt, vtt, bias, col_scale):
-        out = fused(qt, kst, vst, ktt, vtt, bias, col_scale)
-        return out, (qt, kst, vst, ktt, vtt, bias, col_scale)
+    def fwd(qt, kst, vst, ktt, vtt, bias, kscale, vscale):
+        out = fused(qt, kst, vst, ktt, vtt, bias, kscale, vscale)
+        return out, (qt, kst, vst, ktt, vtt, bias, kscale, vscale)
 
     def bwd(res, ct):
         _, vjp = jax.vjp(
@@ -390,6 +415,9 @@ def fused_joint_attention(
     flash: Optional[bool] = None,          # None = auto by VMEM fit
     block_q: int = FLASH_BLOCK_Q,
     block_kv: int = FLASH_BLOCK_KV,
+    kv_scales: Optional[tuple] = None,  # ((B,T,H), (B,T,H)) f32 — int8
+                                        # static-KV dequant scales
+                                        # (ops/quant.quantize_kv_int8)
 ) -> jnp.ndarray:
     gb, s, h, dh = q.shape
     b, t, _, _ = k_static.shape
@@ -416,17 +444,30 @@ def fused_joint_attention(
 
     if col_scale is None:
         col_scale = jnp.ones((t,), jnp.float32)
+    # Per-(batch, head, column) K/V scales: the shared col_scale
+    # (speaker-KV boost) times the optional int8 dequant scales.  K·s
+    # folds into the logits, V·s into the softmax weights — so int8 KV
+    # rides the kernel with no dequantized copy in HBM.
+    base = jnp.broadcast_to(col_scale.astype(jnp.float32)[None, None, :],
+                            (b, h, t))
+    if kv_scales is not None:
+        ks, vs = kv_scales  # (B, T, H) from quantize_kv_int8
+        kscale = base * ks.astype(jnp.float32).transpose(0, 2, 1)
+        vscale = base * vs.astype(jnp.float32).transpose(0, 2, 1)
+    else:
+        kscale = vscale = base
     t_pad = _round_up(max(t, LANE), LANE)
     if t_pad != t:
         pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
         k_static = jnp.pad(k_static, pad)
         v_static = jnp.pad(v_static, pad)
         static_mask = jnp.pad(static_mask, [(0, 0), (0, t_pad - t)])
-        col_scale = jnp.pad(col_scale, (0, t_pad - t))
+        spad = [(0, 0), (0, 0), (0, t_pad - t)]
+        kscale = jnp.pad(kscale, spad)
+        vscale = jnp.pad(vscale, spad)
     # MASK_VALUE (not -inf) so the flash online softmax stays NaN-free for
     # fully-masked tiles; exp underflows to exactly 0 either way.
     bias = jnp.where(static_mask, 0.0, MASK_VALUE).astype(jnp.float32)
-    col_scale = col_scale.astype(jnp.float32)[None, :]  # (1, T)
 
     # Arrays come in (batch, seq, H, Dh); transpose to (batch, H, seq, Dh)
     # so the (seq, Dh) tile is contiguous in the minor dims.
@@ -438,7 +479,7 @@ def fused_joint_attention(
 
     out = _fused_fn(sm_scale, interpret,
                     (block_q, block_kv) if flash else None)(
-        qt, kst, vst, ktt, vtt, bias, col_scale)
+        qt, kst, vst, ktt, vtt, bias, kscale, vscale)
 
     return out.transpose(0, 2, 1, 3)  # back to (GB, S, H, Dh)
 
@@ -466,6 +507,7 @@ def fused_joint_attention_sharded(
     data_axis: str = "data",
     model_axis: str = "model",
     interpret: bool = False,
+    kv_scales: Optional[tuple] = None,  # ((B,T,H), (B,T,H)) f32
 ) -> jnp.ndarray:
     """Run the fused kernel per mesh shard via shard_map: batch shards over
     `data`, heads over `model`; the kernel itself is embarrassingly parallel
@@ -483,29 +525,35 @@ def fused_joint_attention_sharded(
     g = gb // b
     if col_scale is None:
         col_scale = jnp.ones((t,), jnp.float32)
+    # int8-KV dequant scales shard exactly like the KV they describe
+    ks, vs = (kv_scales if kv_scales is not None
+              else (jnp.ones((b, t, h), jnp.float32),) * 2)
 
     qspec = P(None, data_axis, None, model_axis, None)
     kvspec = P(data_axis, None, model_axis, None)
     mspec = P(None, data_axis, None)
+    sspec = P(data_axis, None, model_axis)
 
-    def local(qg, ksg, vsg, kst, vst, mg, cs):
+    def local(qg, ksg, vsg, kst, vst, mg, cs, ksc, vsc):
         g_, b_, s_, h_, dh_ = qg.shape
         out = fused_joint_attention(
             qg.reshape(g_ * b_, s_, h_, dh_),
             ksg.reshape(g_ * b_, s_, h_, dh_),
             vsg.reshape(g_ * b_, s_, h_, dh_),
             kst, vst, mg.reshape(g_ * b_, -1), cs,
-            sm_scale=sm_scale, interpret=interpret)
+            sm_scale=sm_scale, interpret=interpret,
+            kv_scales=(ksc, vsc))
         return out.reshape(g_, b_, s_, h_, dh_)
 
     out = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(qspec, qspec, qspec, kvspec, kvspec, mspec, P(None)),
+        in_specs=(qspec, qspec, qspec, kvspec, kvspec, mspec, P(None),
+                  sspec, sspec),
         out_specs=qspec,
         # pallas_call's out_shape carries no varying-mesh-axes (vma) info;
         # the body is per-shard pure (no collectives), so skip the check.
         check_vma=False,
     )(q.reshape(g, b, s, h, dh), k_self.reshape(g, b, s, h, dh),
       v_self.reshape(g, b, s, h, dh), k_static, v_static,
-      static_mask.reshape(g, b, t), col_scale)
+      static_mask.reshape(g, b, t), col_scale, ks, vs)
     return out.reshape(gb, s, h, dh)

@@ -97,6 +97,8 @@ def qdot(x: jnp.ndarray, w: Union[jnp.ndarray, QuantizedWeight]
     if isinstance(w, dict):
         if Q8_KEY in w:
             return int8_dot(x, w[Q8_KEY], w[SCALE_KEY])
+        if Q4_KEY in w:
+            return int4_dot(x, w[Q4_KEY], w[SCALE_KEY])
         if QAT_KEY in w:
             return qat_dot(x, w[QAT_KEY])
     return x @ w
@@ -156,6 +158,107 @@ def dit_params_are_quantized(params: dict) -> bool:
         "partially quantized DiT parameter tree: quantized leaves "
         f"{quantized} but not the rest -- re-run quantize_dit_params "
         "on the full tree")
+
+
+# ---------------------------------------------------------------------------
+# W4A8 (int4 weights, int8 activations) — EXPERIMENT (VERDICT r4 item
+# 5b).  The hot-loop weights are ~1.9 GB int8; int4 halves their per-step
+# HBM reads again.  The MXU contraction stays int8xint8 (there is no
+# int4 systolic mode on v5e) — the int4 tensor upcasts to int8 at the
+# dot's operand read, so the win (if any) is pure weight bandwidth.
+# Accept/reject measured on-chip in examples/bench_kv_quant.py
+# (--w4a8); verdict recorded in docs/PERFORMANCE.md §13.
+# ---------------------------------------------------------------------------
+
+Q4_KEY = "q4"
+
+
+def quantize_weight_int4(w: jnp.ndarray) -> QuantizedWeight:
+    """Symmetric per-output-channel int4 ([-7, 7]) quantization.
+    Same layout contract as quantize_weight_int8."""
+    wf = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2)
+    scale = jnp.maximum(amax, 1e-12) / 7.0
+    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -7, 7)
+    return {Q4_KEY: q.astype(jnp.int4),
+            SCALE_KEY: scale.astype(jnp.float32)}
+
+
+def int4_dot(x: jnp.ndarray, w4: jnp.ndarray, w_scale: jnp.ndarray,
+             out_dtype=None) -> jnp.ndarray:
+    """x @ dequant(w4) with dynamic per-row int8 activation quantization —
+    the W4A8 twin of int8_dot (int4 weights upcast to int8 at the MXU)."""
+    if out_dtype is None:
+        out_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(amax, 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w4.astype(jnp.int8),
+        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * x_scale * w_scale).astype(out_dtype)
+
+
+def quantize_dit_params_int4(params: dict) -> dict:
+    """quantize_dit_params, int4 edition (same hot-loop leaves)."""
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    for group in dict.fromkeys(g for g, _ in DIT_BLOCK_QUANT_KEYS):
+        blocks[group] = dict(blocks[group])
+    for group, key in DIT_BLOCK_QUANT_KEYS:
+        leaf = blocks[group][key]
+        if not isinstance(leaf, dict):
+            blocks[group][key] = quantize_weight_int4(leaf)
+    out["blocks"] = blocks
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Int8 static-KV quantization (opt-in, VERDICT r4 item 5a).
+#
+# The prefilled text/speaker KV is per-request CONSTANT: it is built once
+# and read by all 24 layers on every one of the sampler's 40 steps.
+# Storing it int8 halves its HBM footprint (the B=8 x 6400-latent
+# worst case is ~3.7 GB bf16) and halves the KV read bandwidth of every
+# step.  The quantization is per-token-per-head symmetric (scale over the
+# head_dim axis), and the scales FOLD INTO the attention's existing
+# per-column machinery: K·s ≡ scaling the logits column, V·s ≡ scaling
+# the softmax weights column — the same identity the speaker-KV scale
+# already uses (models/dit.py:_joint_attention_static), so the kernel
+# only needs per-(head, column) scale inputs, no dequantized KV is ever
+# materialized in HBM, and the int8->bf16 tile cast happens in VMEM.
+# ---------------------------------------------------------------------------
+
+KV_Q8_KEYS = ("k8", "ks", "v8", "vs")
+
+
+def quantize_kv_int8(k: jnp.ndarray, v: jnp.ndarray) -> dict:
+    """Static KV (L, B, T, H, Dh) bf16 pair -> {"k8", "ks", "v8", "vs"}
+    with int8 arrays and float32 per-(L, B, T, H) scales."""
+    def q(a):
+        af = a.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(af), axis=-1)                # (..., H)
+        s = jnp.maximum(amax, 1e-12) / 127.0
+        q8 = jnp.clip(jnp.round(af / s[..., None]), -127,
+                      127).astype(jnp.int8)
+        return q8, s.astype(jnp.float32)
+
+    k8, ks = q(k)
+    v8, vs = q(v)
+    return {"k8": k8, "ks": ks, "v8": v8, "vs": vs}
+
+
+def dequantize_kv(q: dict, dtype=jnp.bfloat16):
+    """Inverse of quantize_kv_int8 (tests / fallbacks)."""
+    k = (q["k8"].astype(jnp.float32) * q["ks"][..., None]).astype(dtype)
+    v = (q["v8"].astype(jnp.float32) * q["vs"][..., None]).astype(dtype)
+    return k, v
+
+
+def kv_is_quantized(kv) -> bool:
+    return isinstance(kv, dict) and all(x in kv for x in KV_Q8_KEYS)
 
 
 # ---------------------------------------------------------------------------

@@ -210,13 +210,19 @@ def _euler_core(
     speaker_kv_min_t: Optional[float],
     dtype,
     mesh=None,
+    kv_quant: bool = False,
 ):
     """Build the jitted sampler core for one static configuration.
 
     Cached so direct (un-jitted) callers — the serving handler, the demo,
     the batcher — compile once per configuration/shape instead of
     re-tracing the 24-layer scan on every request.
-    """
+
+    kv_quant=True stores the prefilled static KV int8 (ops/quant.py:
+    quantize_kv_int8): halves its HBM footprint and per-step read
+    bandwidth; the dequant scales fold into the attention column scales.
+    Opt-in NON-PARITY (per-token rounding error), measured in
+    docs/PERFORMANCE.md §13."""
     plan = build_step_plan(num_steps, cfg_min_t, cfg_max_t, rescale_k,
                            rescale_sigma, speaker_kv_scale, speaker_kv_min_t)
 
@@ -235,6 +241,9 @@ def _euler_core(
         kv_speaker = dit.get_kv_cache_speaker(
             params, cfg, speaker_latent.astype(dtype))
         kv_static, spk_cols = dit.concat_static_kv(cfg, kv_text, kv_speaker)
+        if kv_quant:
+            from ..ops.quant import quantize_kv_int8
+            kv_static = quantize_kv_int8(*kv_static)
         mask_cfg, mask_plain = make_cfg_branch_masks(
             cfg, text_mask, speaker_mask)
 
@@ -272,6 +281,7 @@ def sample_euler_cfg_independent_guidances(
     initial_noise: Optional[jnp.ndarray] = None,
     rng_key: Optional[jax.Array] = None,
     mesh=None,
+    kv_quant: bool = False,
 ) -> jnp.ndarray:
     """Returns latents (B, sequence_length, latent_size) float32.
 
@@ -279,7 +289,8 @@ def sample_euler_cfg_independent_guidances(
     inference.py:477) or `rng_key` must be provided.  Pass `mesh` when the
     params/inputs were placed on a (data, model) mesh
     (parallel/inference.py) so the fused attention stays per-shard Pallas
-    instead of falling back to XLA einsums.
+    instead of falling back to XLA einsums.  kv_quant=True stores the
+    prefilled static KV int8 (opt-in NON-PARITY; see _euler_core).
     """
     batch_size = text_input_ids.shape[0]
     if initial_noise is None:
@@ -299,6 +310,7 @@ def sample_euler_cfg_independent_guidances(
         speaker_kv_max_layers,
         None if speaker_kv_min_t is None else float(speaker_kv_min_t),
         jnp.dtype(dtype),  # np.dtype: hashable cache key, valid for astype
-        mesh)              # jax.sharding.Mesh is hashable
+        mesh,              # jax.sharding.Mesh is hashable
+        bool(kv_quant))
     return core(params, speaker_latent, speaker_mask, text_input_ids,
                 text_mask, initial_noise)

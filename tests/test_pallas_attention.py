@@ -179,6 +179,48 @@ def test_flash_kernel_matches_dense_reference():
                                atol=2e-5, rtol=1e-4)
 
 
+def test_int8_static_kv_matches_dequantized_run():
+    """Int8 static KV via kv_scales must equal running the kernel on the
+    dequantized bf16/f32 KV (the scales fold into the column scales; the
+    int8->f32 cast happens in VMEM) — for both kernel variants and the
+    XLA fallback in models/dit.py (covered via the interpret path)."""
+    from echo_tts_tpu.ops import quant
+
+    rng = np.random.default_rng(11)
+    gb, b, s, t, h, dh = 2, 1, 96, 260, 2, 128
+
+    def arr(*sh):
+        return jnp.asarray(rng.standard_normal(sh).astype(np.float32))
+
+    q, ks_, vs = arr(gb, s, h, dh), arr(gb, s, h, dh), arr(gb, s, h, dh)
+    kt, vt = arr(b, t, h, dh), arr(b, t, h, dh)
+    mask = jnp.asarray(rng.random((gb, t)) > 0.3).at[:, 0].set(True)
+    col_scale = jnp.asarray(
+        1.0 + 0.5 * rng.random(t).astype(np.float32))
+    scale = dh ** -0.5
+
+    qkv = quant.quantize_kv_int8(kt, vt)           # (B, T, H) scales
+    kd, vd = quant.dequantize_kv(qkv, dtype=jnp.float32)
+
+    for flash in (False, True):
+        got = fused_joint_attention(
+            q, ks_, vs, qkv["k8"], qkv["v8"], mask, col_scale,
+            sm_scale=scale, interpret=True, flash=flash,
+            block_q=64, block_kv=64,
+            kv_scales=(qkv["ks"], qkv["vs"]))
+        want = fused_joint_attention(
+            q, ks_, vs, kd, vd, mask, col_scale, sm_scale=scale,
+            interpret=True, flash=flash, block_q=64, block_kv=64)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=1e-4,
+                                   err_msg=f"flash={flash}")
+        # and close to the unquantized truth
+        ref = _dense_reference(q, ks_, vs, kt, vt, mask, col_scale, scale)
+        rel = (np.linalg.norm(np.asarray(got) - np.asarray(ref))
+               / np.linalg.norm(np.asarray(ref)))
+        assert rel < 2e-2, (flash, rel)
+
+
 def test_flash_auto_selected_past_whole_row_budget():
     """`flash=None` must pick the blocked kernel exactly where the
     whole-row kernel stops fitting VMEM, with identical results."""

@@ -97,6 +97,67 @@ def test_quantize_dit_params_touches_only_hot_leaves(params):
     assert qp2["blocks"]["mlp"]["w2"] is qp["blocks"]["mlp"]["w2"]
 
 
+def test_int4_dot_and_dispatch():
+    """W4A8 experiment (quantize_weight_int4 / int4_dot): bounded error
+    vs f32, and qdot dispatches on the q4 leaf."""
+    k, n, m = 256, 96, 64
+    w = jax.random.normal(jax.random.PRNGKey(40), (k, n)) / np.sqrt(k)
+    x = jax.random.normal(jax.random.PRNGKey(41), (m, k))
+    q = quant.quantize_weight_int4(w)
+    assert q["q4"].dtype == jnp.int4
+    ref = np.asarray(x @ w)
+    got = np.asarray(quant.int4_dot(x, q["q4"], q["s"],
+                                    out_dtype=jnp.float32))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.15, rel        # 4-bit: ~16x coarser than int8
+    np.testing.assert_array_equal(
+        np.asarray(quant.qdot(x, q)),
+        np.asarray(quant.int4_dot(x, q["q4"], q["s"])))
+    qp = quant.quantize_dit_params_int4(
+        {"blocks": {"attn": {k2: w for k2 in
+                             ("wq", "wk", "wv", "gate", "wo")},
+                    "mlp": {k2: w for k2 in ("w1", "w2", "w3")}}})
+    assert qp["blocks"]["mlp"]["w2"]["q4"].dtype == jnp.int4
+
+
+def test_quantize_kv_roundtrip_error_bounded():
+    k = jax.random.normal(jax.random.PRNGKey(30), (2, 1, 24, 4, 16))
+    v = jax.random.normal(jax.random.PRNGKey(31), (2, 1, 24, 4, 16))
+    q = quant.quantize_kv_int8(k, v)
+    assert q["k8"].dtype == jnp.int8 and q["k8"].shape == k.shape
+    assert q["ks"].shape == k.shape[:-1]
+    kd, vd = quant.dequantize_kv(q, dtype=jnp.float32)
+    # per-element error at most half a quantization step
+    ks = np.asarray(q["ks"])[..., None]
+    assert np.all(np.abs(np.asarray(kd - k)) <= 0.5 * ks + 1e-7)
+    assert quant.kv_is_quantized(q)
+    assert not quant.kv_is_quantized((k, v))
+
+
+def test_sampler_kv_quant_within_envelope(params):
+    """kv_quant=True (int8 static KV) must stay close to the exact
+    sampler at tiny config f32 — the same envelope discipline as the
+    W8A8 weight mode."""
+    rng = np.random.default_rng(32)
+    ids = jnp.asarray(rng.integers(0, CFG.text_vocab_size, size=(1, 12)))
+    tmask = jnp.ones((1, 12), bool)
+    spk = jnp.asarray(rng.standard_normal((1, 8, CFG.latent_size)),
+                      jnp.float32)
+    smask = jnp.ones((1, 8), bool)
+    kw = dict(num_steps=4, cfg_scale_text=2.0, cfg_scale_speaker=3.0,
+              cfg_min_t=0.4, cfg_max_t=1.0, sequence_length=16,
+              dtype=jnp.float32, rng_key=jax.random.PRNGKey(9),
+              speaker_kv_scale=1.5, speaker_kv_min_t=0.5)
+    base = np.asarray(sample_euler_cfg_independent_guidances(
+        params, CFG, spk, smask, ids, tmask, **kw))
+    got = np.asarray(sample_euler_cfg_independent_guidances(
+        params, CFG, spk, smask, ids, tmask, kv_quant=True, **kw))
+    assert np.isfinite(got).all()
+    rel = (np.linalg.norm(got - base)
+           / max(np.linalg.norm(base), 1e-9))
+    assert rel < 5e-2, rel
+
+
 def test_partially_quantized_tree_fails_loudly(params):
     """A mixed bf16/int8 tree (interrupted transform, hand-built
     checkpoint) must raise, not report fully-quantized from a single
