@@ -46,11 +46,13 @@ def flow_matching_loss(
     """MSE between predicted and target velocity.
 
     remat: "full" (default; minimum memory — every layer re-forwards in
-    the backward pass) or "dots" (save matmul outputs, re-run only the
-    elementwise work: measured +5% wall at B=2 but OOMs at the
-    single-chip HBM-max batch, so full remat's bigger batch wins per
-    chip — use "dots" when the per-device batch is small anyway;
-    docs/PERFORMANCE.md §12).
+    the backward pass), "dots" (save batch-free matmul outputs — +5%
+    wall at B=2 but OOMs at the single-chip HBM-max batch), "dots_all"
+    (also save the batched attention einsums), "attn" (save each
+    layer's attention OUTPUT: the backward never re-runs attention),
+    or "none" (no remat — save everything; max memory).  The on-chip
+    sweep across these at each policy's HBM-max batch lives in
+    examples/bench_train_step.py --sweep; docs/PERFORMANCE.md §12.
 
     batch = {
       'latents':        (B, S, 80) f32 clean DAC-PCA latents,
@@ -75,12 +77,14 @@ def flow_matching_loss(
         params, cfg, batch["text_ids"], batch["text_mask"])
     kv_speaker = dit.get_kv_cache_speaker(
         params, cfg, batch["speaker_latent"].astype(dtype))
-    if remat not in ("full", "dots"):
-        raise ValueError(f"remat={remat!r}: expected 'full' or 'dots'")
+    if remat not in ("full", "dots", "dots_all", "attn", "none"):
+        raise ValueError(f"remat={remat!r}: expected 'full', 'dots', "
+                         "'dots_all', 'attn' or 'none'")
     v_pred = dit.dit_forward(
         params, cfg, x_t.astype(dtype), t.astype(dtype),
         batch["text_mask"], batch["speaker_mask"], kv_text, kv_speaker,
-        remat="dots" if remat == "dots" else True)
+        remat=(False if remat == "none"
+               else True if remat == "full" else remat))
     sq = jnp.square(v_pred - v_target)
     mask = batch.get("latent_mask")
     if mask is None:

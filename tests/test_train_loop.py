@@ -45,9 +45,10 @@ def test_train_loop_descends_and_checkpoints(tmp_path):
     assert os.path.isdir(tmp_path / "step_00000006")
 
 
-def test_remat_dots_policy_matches_full_remat():
-    """remat='dots' changes the memory/compute schedule, never the math:
-    loss values and gradients must match the full-remat path."""
+def test_remat_policies_match_full_remat():
+    """Every remat mode ('dots', 'dots_all', 'attn', 'none') changes the
+    memory/compute schedule, never the math: loss values and gradients
+    must match the full-remat path."""
     from echo_tts_tpu.train.step import flow_matching_loss
 
     cfg = tiny_dit_config(blockwise=False)
@@ -57,12 +58,15 @@ def test_remat_dots_policy_matches_full_remat():
 
     lf, gf = jax.value_and_grad(flow_matching_loss)(
         params, cfg, batch, rng, dtype=jnp.float32, remat="full")
-    ld, gd = jax.value_and_grad(flow_matching_loss)(
-        params, cfg, batch, rng, dtype=jnp.float32, remat="dots")
-    np.testing.assert_allclose(float(lf), float(ld), rtol=1e-6)
-    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gd)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-5, rtol=1e-4)
+    for mode in ("dots", "dots_all", "attn", "none"):
+        ld, gd = jax.value_and_grad(flow_matching_loss)(
+            params, cfg, batch, rng, dtype=jnp.float32, remat=mode)
+        np.testing.assert_allclose(float(lf), float(ld), rtol=1e-6,
+                                   err_msg=mode)
+        for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gd)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4,
+                                       err_msg=mode)
 
 
 def test_train_loop_ema_and_cosine_schedule(tmp_path):
