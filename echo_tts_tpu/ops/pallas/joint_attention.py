@@ -68,8 +68,13 @@ def _kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref, kscale_ref,
     k_st = kt_ref[0, 0].astype(q.dtype)
     v_st = vt_ref[0, 0].astype(q.dtype)
     bias = bias_ref[pl.ds(pl.program_id(0), 1), :]  # (1, T)
-    k_scale = kscale_ref[0, 0][None, :]             # (1, T)
-    v_scale = vscale_ref[0, 0][None, :]             # (1, T)
+    # scale blocks are (H, T) — this invocation's batch row's heads
+    # (sliced by the BlockSpec); pick the head row the same way bias
+    # picks its batch row (2-D ref + pl.ds sublane slice is the pattern
+    # Mosaic lowers; a rank-3 ref with a scalar lead index is not)
+    hi = pl.program_id(1)
+    k_scale = kscale_ref[pl.ds(hi, 1), :]           # (1, T)
+    v_scale = vscale_ref[pl.ds(hi, 1), :]           # (1, T)
 
     logits_self = jax.lax.dot_general(
         q, k_self, (((1,), (1,)), ((), ())),
@@ -101,7 +106,7 @@ def _flash_kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref,
                   kscale_ref, vscale_ref,
                   out_ref, m_ref, l_ref, acc_ref, *,
                   sm_scale: float, n_self: int, n_kv: int, s_kv: int,
-                  block_t: int):
+                  block_t: int, b_kv: int):
     """Blocked (flash) variant: grid (GB, H, n_q_blocks, n_kv_blocks) with
     the kv-block dim innermost (sequential on TPU); online softmax over
     first the self tiles then the static tiles, running (m, l, acc) in VMEM
@@ -111,6 +116,7 @@ def _flash_kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref,
     # program_id must be read at kernel top level (inside a pl.when body it
     # has no lowering rule under interpret mode).
     bi = pl.program_id(0)
+    hi = pl.program_id(1)
     ki = pl.program_id(3)
 
     @pl.when(ki == 0)
@@ -161,13 +167,14 @@ def _flash_kernel(q_ref, ks_ref, vs_ref, kt_ref, vt_ref, bias_ref,
     def _static_tile():
         k = kt_ref[0, 0].astype(q.dtype)   # int8 KV casts in VMEM
         v = vt_ref[0, 0].astype(q.dtype)
-        ti = ki - n_self
-        bias = bias_ref[pl.ds(bi, 1),
-                        pl.ds(ti * block_t, block_t)]       # (1, block_t)
-        cs_k = kscale_ref[0, pl.ds(0, 1),
-                          pl.ds(ti * block_t, block_t)]     # (1, block_t)
-        cs_v = vscale_ref[0, pl.ds(0, 1),
-                          pl.ds(ti * block_t, block_t)]
+        # bias/scale COLUMNS are selected by the BlockSpec index maps
+        # (blocks of 8 sublane rows x block_t lanes); in-kernel slicing
+        # is SUBLANE-only — Mosaic on this stack cannot lower a load
+        # that is dynamic in both sublane and lane dims.
+        bias = bias_ref[pl.ds(bi % 8, 1), :]                # (1, block_t)
+        row = ((bi % b_kv) * pl.num_programs(1) + hi) % 8
+        cs_k = kscale_ref[pl.ds(row, 1), :]                 # (1, block_t)
+        cs_v = vscale_ref[pl.ds(row, 1), :]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
@@ -201,17 +208,17 @@ def fits_vmem_flash(s: int, t_static: int, head_dim: int,
                     block_q: int = FLASH_BLOCK_Q,
                     block_kv: int = FLASH_BLOCK_KV,
                     budget_bytes: int = 14 * 1024 * 1024) -> bool:
-    """VMEM estimate for one flash-kernel invocation.  K/V are TILED by
-    their BlockSpecs (one (block_kv, Dh) block per segment resident at a
-    time, ×2 for pipelining), so arbitrarily long KV rows stream from HBM
-    — only the fp32 bias is resident as the FULL (q_batch, t_pad) array
-    (its BlockSpec is un-tiled), so large batch × long static KV is the
-    real bound."""
-    t_pad = _round_up(t_static, max(LANE, block_kv))
+    """VMEM estimate for one flash-kernel invocation.  EVERY operand is
+    tiled by its BlockSpec now — K/V as (block_kv, Dh) tiles, bias and
+    the K/V column scales as (8, block_kv) tiles (column selection moved
+    into the index maps so the kernel's loads stay single-dynamic; the
+    full-array bias residency that used to bound large batch x long KV
+    is gone) — so the budget is block-size-dependent only."""
+    del s, t_static, q_batch  # shape-independent since the bias tiling
     kv = 4 * 2 * 2 * block_kv * head_dim      # bf16 k+v tiles ×2 buffers
     tiles = 4 * block_q * (block_kv + head_dim + 2 * LANE)  # logits+acc+m/l
     q_out = 2 * 2 * block_q * head_dim
-    bias_b = 4 * t_pad * (q_batch + 1)           # (GB, T) bias + col_scale
+    bias_b = 4 * 8 * block_kv * 2 * 3         # (8, block_t) bias+2 scales
     return kv + tiles + q_out + bias_b < budget_bytes
 
 
@@ -239,7 +246,7 @@ def _pallas_attention_flash(qt, kst, vst, ktt, vtt, bias, kscale, vscale,
         vtt = jnp.pad(vtt, pad)
         bias = jnp.pad(bias, [(0, 0), (0, t_pad - t_in)],
                        constant_values=MASK_VALUE)
-        spad = [(0, 0), (0, 0), (0, t_pad - t_in)]
+        spad = [(0, 0), (0, t_pad - t_in)]   # scales are (B*H, T)
         kscale = jnp.pad(kscale, spad)
         vscale = jnp.pad(vscale, spad)
 
@@ -248,9 +255,25 @@ def _pallas_attention_flash(qt, kst, vst, ktt, vtt, bias, kscale, vscale,
     n_static = t_pad // block_t
     n_kv = n_self + n_static
 
+    # Pad the row (sublane) dims of bias and the scales to a multiple of
+    # 8 so their BlockSpecs can carry 8-row tiles (TPU tiling rule) while
+    # the COLUMN tile is selected by the index map — the kernel's slices
+    # are then sublane-only dynamic (see _static_tile).
+    gb_pad = _round_up(gb, 8)
+    if gb_pad != gb:
+        bias = jnp.pad(bias, [(0, gb_pad - gb), (0, 0)])
+    bh = kscale.shape[0]
+    bh_pad = _round_up(bh, 8)
+    if bh_pad != bh:
+        kscale = jnp.pad(kscale, [(0, bh_pad - bh), (0, 0)])
+        vscale = jnp.pad(vscale, [(0, bh_pad - bh), (0, 0)])
+
+    def _col(ki):
+        return jnp.clip(ki - n_self, 0, n_static - 1)
+
     out = pl.pallas_call(
         functools.partial(_flash_kernel, sm_scale=sm_scale, n_self=n_self,
-                          n_kv=n_kv, s_kv=s, block_t=block_t),
+                          n_kv=n_kv, s_kv=s, block_t=block_t, b_kv=b),
         grid=(gb, h, n_q, n_kv),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, dh),
@@ -274,13 +297,18 @@ def _pallas_attention_flash(qt, kst, vst, ktt, vtt, bias, kscale, vscale,
                          (bi % b, hi,
                           jnp.clip(ki - n_self, 0, n_static - 1), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, t_pad), lambda bi, hi, qi, ki: (0, 0),
+            pl.BlockSpec((8, block_t),
+                         lambda bi, hi, qi, ki: (bi // 8, _col(ki)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad),
-                         lambda bi, hi, qi, ki: (bi % b, hi, 0),
+            # scales arrive (B*H, T) row-padded to 8; the index map picks
+            # the 8-row group + column tile, the kernel the row within
+            pl.BlockSpec((8, block_t),
+                         lambda bi, hi, qi, ki:
+                         (((bi % b) * h + hi) // 8, _col(ki)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad),
-                         lambda bi, hi, qi, ki: (bi % b, hi, 0),
+            pl.BlockSpec((8, block_t),
+                         lambda bi, hi, qi, ki:
+                         (((bi % b) * h + hi) // 8, _col(ki)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, dh),
@@ -321,9 +349,11 @@ def _pallas_attention(qt, kst, vst, ktt, vtt, bias, kscale, vscale,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, t_pad), lambda bi, hi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad), lambda bi, hi: (bi % b, hi, 0),
+            # scales arrive (B*H, T); one (H, T) block per batch row, the
+            # kernel picks its head row like bias picks its batch row
+            pl.BlockSpec((h, t_pad), lambda bi, hi: (bi % b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad), lambda bi, hi: (bi % b, hi, 0),
+            pl.BlockSpec((h, t_pad), lambda bi, hi: (bi % b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, s, dh), lambda bi, hi: (bi, hi, 0, 0),
@@ -338,10 +368,13 @@ def _xla_attention(qt, kst, vst, ktt, vtt, bias, kscale, vscale,
     """XLA einsum twin of `_kernel` on the same transposed layout — used as
     the differentiable reference for the custom VJP (the backward pass
     recomputes through this, i.e. rematerialized attention grads).
-    kscale/vscale: (B, H, T) f32."""
+    kscale/vscale: (B*H, T) f32 — the kernels' layout."""
     gb, h, s, dh = qt.shape
     b = ktt.shape[0]
     g = gb // b
+    t_pad = ktt.shape[2]
+    kscale = kscale.reshape(b, h, t_pad)
+    vscale = vscale.reshape(b, h, t_pad)
     qg = qt.reshape(g, b, h, s, dh)
     ktc = ktt.astype(qt.dtype)   # int8 static KV casts here (exact)
     vtc = vtt.astype(qt.dtype)
@@ -456,13 +489,17 @@ def fused_joint_attention(
         vscale = base * vs.astype(jnp.float32).transpose(0, 2, 1)
     else:
         kscale = vscale = base
+    # (B*H, T): 2-D like bias, so the kernels' dynamic sublane row pick
+    # lowers (Mosaic has no rank-3 scalar-lead dynamic load)
+    kscale = kscale.reshape(b * h, t)
+    vscale = vscale.reshape(b * h, t)
     t_pad = _round_up(max(t, LANE), LANE)
     if t_pad != t:
         pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
         k_static = jnp.pad(k_static, pad)
         v_static = jnp.pad(v_static, pad)
         static_mask = jnp.pad(static_mask, [(0, 0), (0, t_pad - t)])
-        spad = [(0, 0), (0, 0), (0, t_pad - t)]
+        spad = [(0, 0), (0, t_pad - t)]
         kscale = jnp.pad(kscale, spad)
         vscale = jnp.pad(vscale, spad)
     # MASK_VALUE (not -inf) so the flash online softmax stays NaN-free for

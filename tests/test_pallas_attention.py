@@ -276,10 +276,14 @@ def test_fits_vmem_guard():
     assert fits_vmem(640, 768 + 1600, 128)        # published worst case
     assert not fits_vmem(4096, 100_000, 128)      # absurd shapes fall back
     assert fits_vmem_flash(4096, 2432, 128)       # flash covers big S
-    # KV streams in tiles, so even very long static KV fits at small batch
+    # EVERY flash operand is tiled now (bias/scales included — their
+    # column tiles are picked by the index maps), so arbitrarily long
+    # static KV and batch fit; the budget depends on block sizes only
     assert fits_vmem_flash(4096, 100_000, 128)
-    # ... but the full-resident (GB, T) fp32 bias bounds batch x KV length
-    assert not fits_vmem_flash(4096, 100_000, 128, q_batch=512)
+    assert fits_vmem_flash(4096, 100_000, 128, q_batch=512)
+    # absurd tile sizes still fail the budget
+    assert not fits_vmem_flash(4096, 100_000, 128,
+                               block_q=4096, block_kv=8192)
 
 
 def test_auto_dispatch_refuses_shapes_fitting_neither(monkeypatch):
