@@ -103,13 +103,24 @@ def _decode_block_core(dac_cfg: DACConfig, dtype, max_positions: int):
     return run
 
 
+@functools.lru_cache(maxsize=8)
+def _decode_state_template(dac_cfg: DACConfig, batch: int, dtype) -> dict:
+    """The all-zeros initial decode state, built ONCE per configuration.
+    It is dozens of small device arrays (per-layer rolling KV + conv-tail
+    pads); rebuilding them per stream costs a burst of host->device
+    transfers right on the TTFA-critical path.  JAX arrays are immutable
+    and no decode program donates its state operands, so one template is
+    safely shared by every stream."""
+    from ..models.dac.streaming import init_decode_state
+    return init_decode_state(dac_cfg, batch, dtype)
+
+
 def ae_decode_stream_init(models: EchoModels, batch: int = 1) -> dict:
     """Fresh incremental-decode state.  The device state lives under
     "inner"; "pos" is a HOST-side position mirror so the per-block RoPE
     bound check costs no device sync (models/dac/streaming.py)."""
-    from ..models.dac.streaming import init_decode_state
-    return {"inner": init_decode_state(models.dac_cfg, batch,
-                                       _dac_dtype(models)),
+    return {"inner": _decode_state_template(models.dac_cfg, batch,
+                                            jnp.dtype(_dac_dtype(models))),
             "pos": 0}
 
 

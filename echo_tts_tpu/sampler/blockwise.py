@@ -176,6 +176,25 @@ def _block_core(
     return run
 
 
+def sampler_statics(*, num_steps, cfg_scale_text, cfg_scale_speaker,
+                    cfg_min_t, cfg_max_t, truncation_factor=None,
+                    rescale_k=None, rescale_sigma=None,
+                    speaker_kv_scale=None, speaker_kv_max_layers=None,
+                    speaker_kv_min_t=None, dtype) -> tuple:
+    """The hashable static-argument tuple _block_core is keyed on — shared
+    by the iterator below and the serving layer's fused first-block
+    program so the two can never key differently."""
+    return (int(num_steps), float(cfg_scale_text), float(cfg_scale_speaker),
+            float(cfg_min_t), float(cfg_max_t),
+            None if truncation_factor is None else float(truncation_factor),
+            None if rescale_k is None else float(rescale_k),
+            None if rescale_sigma is None else float(rescale_sigma),
+            None if speaker_kv_scale is None else float(speaker_kv_scale),
+            speaker_kv_max_layers,
+            None if speaker_kv_min_t is None else float(speaker_kv_min_t),
+            jnp.dtype(dtype))
+
+
 def iter_blockwise_euler_cfg_independent_guidances(
     params: dict,
     cfg: EchoDiTConfig,
@@ -202,10 +221,20 @@ def iter_blockwise_euler_cfg_independent_guidances(
     rng_key: Optional[jax.Array] = None,
     incremental_latent: bool = False,
     total_len_bucket: Optional[int] = None,
+    prefill_kv: Optional[tuple] = None,
+    first_block_latents: Optional[jnp.ndarray] = None,
 ):
     """Generator over blocks: yields (block_start, block_latents, prefix)
     after each block, where prefix is the full running latent buffer —
     the streaming serving layer decodes incrementally from these.
+
+    `prefill_kv` ((kv_text, kv_speaker)) skips the prefill program, and
+    `first_block_latents` supplies block 0's already-sampled latents
+    (skipping its core call) — together they let the serving layer run
+    prefill + first block + first decode as ONE fused program
+    (serve/streaming.py: saves the per-dispatch round trips that
+    dominate time-to-first-audio on a tunnel/remote host) while this
+    iterator carries the rest of the stream identically.
 
     incremental_latent=True maintains the latent-prefix KV incrementally
     (encode each block once, O(block) instead of the reference's
@@ -254,18 +283,25 @@ def iter_blockwise_euler_cfg_independent_guidances(
             f"be divisible by speaker_patch_size {cfg.speaker_patch_size}")
 
     dt = jnp.dtype(dtype)
-    kv_text, kv_speaker = _prefill_core(cfg, dt)(
-        params, text_input_ids, text_mask, speaker_latent)
+    if prefill_kv is not None:
+        kv_text, kv_speaker = prefill_kv
+    else:
+        kv_text, kv_speaker = _prefill_core(cfg, dt)(
+            params, text_input_ids, text_mask, speaker_latent)
+    if first_block_latents is not None and (
+            continuation_latent is not None):
+        raise ValueError(
+            "first_block_latents only applies to streams without a "
+            "continuation (block 0 must be the latent-free first block)")
 
-    statics = (num_steps, float(cfg_scale_text), float(cfg_scale_speaker),
-               float(cfg_min_t), float(cfg_max_t),
-               None if truncation_factor is None else float(truncation_factor),
-               None if rescale_k is None else float(rescale_k),
-               None if rescale_sigma is None else float(rescale_sigma),
-               None if speaker_kv_scale is None else float(speaker_kv_scale),
-               speaker_kv_max_layers,
-               None if speaker_kv_min_t is None else float(speaker_kv_min_t),
-               dt)
+    statics = sampler_statics(
+        num_steps=num_steps, cfg_scale_text=cfg_scale_text,
+        cfg_scale_speaker=cfg_scale_speaker, cfg_min_t=cfg_min_t,
+        cfg_max_t=cfg_max_t, truncation_factor=truncation_factor,
+        rescale_k=rescale_k, rescale_sigma=rescale_sigma,
+        speaker_kv_scale=speaker_kv_scale,
+        speaker_kv_max_layers=speaker_kv_max_layers,
+        speaker_kv_min_t=speaker_kv_min_t, dtype=dt)
 
     inc_state = None
     if incremental_latent:
@@ -288,22 +324,28 @@ def iter_blockwise_euler_cfg_independent_guidances(
                                  prefix[:, :start_pos])
 
     for b_idx, block_size in enumerate(block_sizes):
-        if initial_noises is not None:
+        first = b_idx == 0 and continuation_latent is None
+        if first and first_block_latents is not None:
+            noise = None  # block already sampled by the caller
+        elif initial_noises is not None:
             noise = initial_noises[b_idx]
         else:
             noise = jax.random.normal(
                 jax.random.fold_in(rng_key, b_idx),
                 (batch_size, block_size, cfg.latent_size), jnp.float32)
-
-        first = b_idx == 0 and continuation_latent is None
         if first:
-            # total-independent program: keyed on block_size only (the
-            # external_latent_kv flag is irrelevant here — pass False so
-            # both iterator modes share one compiled program)
-            core = _block_core(cfg, block_size, block_size, *statics,
-                               False, True)
-            x_t = core(params, noise, kv_text, kv_speaker,
-                       text_mask, speaker_mask)
+            if first_block_latents is not None:
+                # already sampled inside the serving layer's fused
+                # first-block program — just fold it into the buffer
+                x_t = first_block_latents
+            else:
+                # total-independent program: keyed on block_size only
+                # (the external_latent_kv flag is irrelevant here — pass
+                # False so both iterator modes share one program)
+                core = _block_core(cfg, block_size, block_size, *statics,
+                                   False, True)
+                x_t = core(params, noise, kv_text, kv_speaker,
+                           text_mask, speaker_mask)
             prefix = _prefix_update_core(cfg)(prefix, x_t, 0)
         else:
             core = _block_core(cfg, prefix.shape[1], block_size, *statics,

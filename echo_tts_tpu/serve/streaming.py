@@ -18,6 +18,7 @@ decoding the continuation region first (its audio is not re-yielded).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Iterator, Optional, Sequence
 
 import jax
@@ -30,7 +31,9 @@ from ..pipeline.pipeline import (EchoModels, ae_decode_block,
                                  ae_decode_stream_init,
                                  get_speaker_latent_and_mask)
 from ..pipeline.text import get_text_input_ids_and_mask
-from ..sampler.blockwise import iter_blockwise_euler_cfg_independent_guidances
+from ..sampler import blockwise as bw
+from ..sampler.blockwise import (
+    iter_blockwise_euler_cfg_independent_guidances, sampler_statics)
 
 
 # Stream length (latents) past which the incremental latent-prefix KV
@@ -49,6 +52,50 @@ class StreamChunk:
     latent_start: int
     latent_end: int
     is_last: bool
+
+
+@functools.lru_cache(maxsize=16)
+def _fused_first_core(dit_cfg, dac_cfg, block_size: int, statics: tuple,
+                      dac_dtype, max_positions: int):
+    """ONE jitted program for the stream's first audio: text+speaker KV
+    prefill + the latent-free first-block sampler + the first incremental
+    codec decode, back to back on the device.  Splitting these into three
+    dispatches costs ~68 ms of host round trips on the axon tunnel
+    (examples/bench_ttfa_breakdown.py: 361 -> 294 ms TTFA measured) with
+    no compute difference — the KV caches and decode state stay on device
+    as outputs for the rest of the stream.  The sampler body is the SAME
+    cached first-block core the iterator would use (nested jit inlines),
+    so fused and unfused streams are numerically identical."""
+    from ..models import dit
+    from ..models.dac import dac as jdac
+    from ..models.dac.streaming import decode_zq_block
+
+    dt = statics[-1]
+    core = bw._block_core(dit_cfg, block_size, block_size, *statics,
+                          False, True)
+
+    @jax.jit
+    def run(dit_params, dac_params, pca, text_ids, text_mask,
+            speaker_latent, speaker_mask, key0, dec_state):
+        # noise drawn IN-program (same key the iterator would fold) —
+        # one less host dispatch on the TTFA-critical path
+        noise = jax.random.normal(
+            key0, (text_ids.shape[0], block_size, dit_cfg.latent_size),
+            jnp.float32)
+        kv_text = dit.get_kv_cache_text(dit_params, dit_cfg, text_ids,
+                                        text_mask)
+        kv_speaker = dit.get_kv_cache_speaker(
+            dit_params, dit_cfg, speaker_latent.astype(dt))
+        x_t = core(dit_params, noise, kv_text, kv_speaker, text_mask,
+                   speaker_mask)
+        z_q = jdac.pca_unwhiten(x_t, pca)
+        audio, dec_state = decode_zq_block(
+            dac_params, dac_cfg, dec_state, z_q.astype(dac_dtype),
+            max_positions=max_positions)
+        return (audio[..., 0].astype(jnp.float32), x_t, kv_text,
+                kv_speaker, dec_state)
+
+    return run
 
 
 def stream_synthesize(
@@ -145,6 +192,34 @@ def stream_synthesize(
     total_bucket = pick_stream_total_bucket(total)
     if total_bucket is not None and total_bucket % ps != 0:
         total_bucket = None
+
+    state = ae_decode_stream_init(models)
+
+    # Fresh streams run prefill + first block + first decode as ONE fused
+    # program (_fused_first_core): first audio pays one dispatch round
+    # trip instead of three (~68 ms of TTFA on the axon tunnel,
+    # docs/PERFORMANCE.md §14).  The KV and decode state come back as
+    # device outputs; the iterator continues the stream from them.
+    # Continuation streams keep the split path (their first block is a
+    # regular prefix-conditioned block).
+    prefill_kv = None
+    first_latents = None
+    fused_audio0 = None
+    if continuation_latent is None:
+        from ..pipeline.pipeline import _dac_dtype
+        key0 = jax.random.fold_in(jax.random.PRNGKey(seed), 0)
+        statics = sampler_statics(dtype=models.dtype, **p)
+        fused = _fused_first_core(
+            models.dit_cfg, models.dac_cfg, chunk_sizes[0], statics,
+            jnp.dtype(_dac_dtype(models)), MAX_POSITIONS)
+        fused_audio0, first_latents, kv_text, kv_speaker, dec_inner = fused(
+            models.dit_params, models.dac_params, models.pca,
+            jnp.asarray(text_ids), jnp.asarray(text_mask),
+            jnp.asarray(speaker_latent), jnp.asarray(speaker_mask),
+            key0, state["inner"])
+        state = {"inner": dec_inner, "pos": state["pos"] + chunk_sizes[0]}
+        prefill_kv = (kv_text, kv_speaker)
+
     blocks = iter_blockwise_euler_cfg_independent_guidances(
         models.dit_params, models.dit_cfg,
         jnp.asarray(speaker_latent), jnp.asarray(speaker_mask),
@@ -153,9 +228,9 @@ def stream_synthesize(
         continuation_latent=(None if continuation_latent is None
                              else jnp.asarray(continuation_latent)),
         dtype=models.dtype, rng_key=jax.random.PRNGKey(seed),
-        incremental_latent=use_inc, total_len_bucket=total_bucket, **p)
+        incremental_latent=use_inc, total_len_bucket=total_bucket,
+        prefill_kv=prefill_kv, first_block_latents=first_latents, **p)
 
-    state = ae_decode_stream_init(models)
     if continuation_latent is not None:
         # Warm the decode state with the continuation region so the first
         # generated block decodes with its true causal context.
@@ -171,8 +246,18 @@ def stream_synthesize(
     # (a synchronous XLA compile on any cold schedule), and the forgone
     # overlap is only the first (smallest) block's ~ms audio transfer.
     n_blocks = len(chunk_sizes)
+    if fused_audio0 is not None:
+        # First audio leaves BEFORE the iterator is even advanced — the
+        # iterator's first next() does block-0 bookkeeping (prefix buffer
+        # creation + write-in) and dispatches block 1, all of which now
+        # overlaps the consumer playing block 0 instead of delaying it.
+        yield StreamChunk(index=0, audio=np.asarray(fused_audio0),
+                          latent_start=0, latent_end=chunk_sizes[0],
+                          is_last=(n_blocks == 1))
     pending = None
     for idx, (start, block, _prefix) in enumerate(blocks):
+        if idx == 0 and fused_audio0 is not None:
+            continue               # chunk 0 already yielded above
         audio, state = ae_decode_block(models, state, block)
         if pending is not None:
             pending.audio = np.asarray(pending.audio)
