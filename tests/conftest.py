@@ -34,6 +34,20 @@ import jax.numpy as jnp  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Drop live jitted executables at module boundaries.
+
+    One pytest process compiles ~200 programs over the suite; keeping
+    every executable alive accumulates mappings/heap until late, large
+    allocations (the train-loop compile, orbax host transfers) segfault
+    inside XLA/zstd on this 1-CPU box.  Retraces after a clear are cheap:
+    the persistent compile cache serves the recompiles from disk.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def tiny_models():
     """One tiny random-weight EchoModels bundle shared across test files
