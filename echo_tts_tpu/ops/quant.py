@@ -161,33 +161,66 @@ def dit_params_are_quantized(params: dict) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# W4A8 (int4 weights, int8 activations) — EXPERIMENT (VERDICT r4 item
-# 5b).  The hot-loop weights are ~1.9 GB int8; int4 halves their per-step
-# HBM reads again.  The MXU contraction stays int8xint8 (there is no
-# int4 systolic mode on v5e) — the int4 tensor upcasts to int8 at the
-# dot's operand read, so the win (if any) is pure weight bandwidth.
-# Accept/reject measured on-chip in examples/bench_kv_quant.py
-# (--w4a8); verdict recorded in docs/PERFORMANCE.md §13.
+# W4A8 (int4 weights, int8 activations) — MEASURED NEGATIVE RESULT
+# (VERDICT r4 item 5b; numbers in docs/PERFORMANCE.md §13).  The hot-loop
+# weights are ~1.9 GB int8; 4-bit storage would halve their per-step HBM
+# reads again — a real lever on the weight-bandwidth-bound streaming
+# first block (M=120 rows).  Three legs were measured on the chip:
+#   1. jnp.int4 dtype: NOT LOWERABLE on the current axon/v5e backend —
+#      in-program int4->int8 converts fail UNIMPLEMENTED, and passing an
+#      int4 array across a jit boundary hits a device_put relayout
+#      recursion.  Dead on this stack.
+#   2. Nibble-packed int8, adjacent-K pairs: the interleaving unpack
+#      (stack+reshape) is VPU-catastrophic — 366 ms vs w8a8's 42 ms on
+#      40x the 24-layer scan at M=120.
+#   3. Nibble-packed int8, K-halves layout (unpack = two shifts + a
+#      concat, no interleave — the code below): 59.5 ms vs w8a8's
+#      45.1 ms at the same shape.  XLA materializes the unpacked int8
+#      operand in HBM, so the packed read + unpacked write + dot read
+#      exceeds just reading int8.
+# The only remaining avenue is a Pallas kernel unpacking in VMEM; given
+# the Pallas-int8 negative result (§11: XLA pipelines the quant+dot scan
+# better at every tiling), W4A8 stays an available-but-rejected mode.
+# The packed representation is kept portable (plain int8 ops) so the
+# experiment reruns anywhere: examples/bench_kv_quant.py --w4a8.
 # ---------------------------------------------------------------------------
 
-Q4_KEY = "q4"
+Q4_KEY = "q4"  # K-halves nibble-packed int8: byte r = w[r] | (w[r+K/2] << 4)
 
 
 def quantize_weight_int4(w: jnp.ndarray) -> QuantizedWeight:
-    """Symmetric per-output-channel int4 ([-7, 7]) quantization.
-    Same layout contract as quantize_weight_int8."""
+    """Symmetric per-output-channel int4 ([-7, 7]) quantization, stored
+    nibble-packed two-per-int8-byte (see block comment above; jnp.int4
+    itself is not lowerable on this TPU stack).  Packing pairs row r
+    with row r + K/2 so the unpack is a concatenate, never an
+    interleave.  Requires an even contraction dim."""
     wf = jnp.asarray(w, jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=-2)
     scale = jnp.maximum(amax, 1e-12) / 7.0
-    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -7, 7)
-    return {Q4_KEY: q.astype(jnp.int4),
+    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -7, 7).astype(
+        jnp.int32)
+    half = q.shape[-2] // 2
+    if 2 * half != q.shape[-2]:
+        raise ValueError(f"int4 packing needs an even K, got {q.shape}")
+    packed = (q[..., :half, :] & 0xF) | ((q[..., half:, :] & 0xF) << 4)
+    return {Q4_KEY: packed.astype(jnp.int8),
             SCALE_KEY: scale.astype(jnp.float32)}
 
 
-def int4_dot(x: jnp.ndarray, w4: jnp.ndarray, w_scale: jnp.ndarray,
+def unpack_weight_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """(..., K/2, N) packed int8 -> (..., K, N) int8 in [-7, 7].  The low
+    nibble sign-extends via an arithmetic shift pair; the high nibble via
+    one arithmetic shift.  Bit-exact (pinned by tests/test_quant.py)."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def int4_dot(x: jnp.ndarray, w4p: jnp.ndarray, w_scale: jnp.ndarray,
              out_dtype=None) -> jnp.ndarray:
-    """x @ dequant(w4) with dynamic per-row int8 activation quantization —
-    the W4A8 twin of int8_dot (int4 weights upcast to int8 at the MXU)."""
+    """x @ dequant(unpack(w4p)) with dynamic per-row int8 activation
+    quantization — the W4A8 twin of int8_dot (the unpacked int8 weights
+    hit the MXU; there is no int4 systolic mode on v5e)."""
     if out_dtype is None:
         out_dtype = x.dtype
     xf = x.astype(jnp.float32)
@@ -195,7 +228,7 @@ def int4_dot(x: jnp.ndarray, w4: jnp.ndarray, w_scale: jnp.ndarray,
     x_scale = jnp.maximum(amax, 1e-12) / 127.0
     xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
-        xq, w4.astype(jnp.int8),
+        xq, unpack_weight_int4(w4p),
         dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     return (acc.astype(jnp.float32) * x_scale * w_scale).astype(out_dtype)

@@ -163,51 +163,64 @@ def main():
         measure(8, 6400 if args.long_speaker else 640)
 
     if args.w4a8:
-        from echo_tts_tpu.ops.quant import (quantize_dit_params,
-                                            quantize_dit_params_int4)
+        # The surface where 4-bit weights could win is the
+        # weight-bandwidth-bound streaming first block (M = 3 CFG rows x
+        # 40 latents = 120; §14): per step the trunk reads ~3.84 GB bf16
+        # against ~2.3 ms of MXU work.  Time 40 iterations of a 24-layer
+        # MLP-shaped scan (2048x5888) in ONE program — the dispatch
+        # floor (~25 ms) would swamp a single pass.  jnp.int4 is not
+        # lowerable on this backend, so the 4-bit store is the K-halves
+        # nibble-packed int8 of ops/quant.quantize_weight_int4.
+        from echo_tts_tpu.ops.quant import (int4_dot, int8_dot,
+                                            quantize_weight_int4,
+                                            quantize_weight_int8)
 
-        ki = jax.random.split(jax.random.PRNGKey(1), 4)
-        text_ids = jax.random.randint(ki[0], (1, TEXT_LEN), 0, 256,
-                                      jnp.int32)
-        text_mask = jnp.arange(TEXT_LEN)[None, :] < 200
-        spk_lat = jax.random.normal(ki[1], (1, 640, cfg.latent_size),
-                                    jnp.float32)
-        spk_mask = jnp.ones((1, 640), bool)
-        noise = jax.random.normal(ki[2], (1, SEQ, cfg.latent_size),
-                                  jnp.float32)
+        L, M, K, N = 24, 120, 2048, 5888
+        kw, kx = jax.random.split(jax.random.PRNGKey(2))
+        w = jax.random.normal(kw, (L, K, N), jnp.float32) / np.sqrt(K)
+        x0 = jax.random.normal(kx, (M, K), jnp.bfloat16)
+        q8 = jax.jit(quantize_weight_int8)(w)
+        q4 = jax.jit(quantize_weight_int4)(w)
+        wbf = w.astype(jnp.bfloat16)
 
-        @jax.jit
-        def prefill(params, text_ids, text_mask, spk_lat):
-            kv_text = dit.get_kv_cache_text(params, cfg, text_ids,
-                                            text_mask)
-            kv_speaker = dit.get_kv_cache_speaker(
-                params, cfg, spk_lat.astype(jnp.bfloat16))
-            return dit.concat_static_kv(cfg, kv_text, kv_speaker)
+        def scan40(dot, wtree):
+            @jax.jit
+            def run(x, wtree):
+                def body(c, wl):
+                    y = dot(c, wl)
+                    return (y[:, :K] / jnp.float32(K)).astype(
+                        jnp.bfloat16), ()
+                def step(i, c):
+                    c2, _ = jax.lax.scan(body, c, wtree)
+                    return c2
+                c = jax.lax.fori_loop(0, NUM_STEPS, step, x)
+                return jnp.sum(c.astype(jnp.float32))
+            return run
 
-        kv_static, spk_cols = prefill(params, text_ids, text_mask,
-                                      spk_lat)
-
-        def timed(p):
-            lat, chk = run_bf16(p, kv_static, spk_cols, text_mask,
-                                spk_mask, noise)
-            np.asarray(chk)
+        def timed40(run, wtree):
+            np.asarray(run(x0, wtree))
             ts = []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
-                _, chk = run_bf16(p, kv_static, spk_cols, text_mask,
-                                  spk_mask, noise)
-                np.asarray(chk)
+                np.asarray(run(x0, wtree))
                 ts.append(time.perf_counter() - t0)
             return 1e3 * float(np.median(ts))
 
-        row = {"batch": 1, "speaker_latents": 640,
-               "sampler_ms_bf16": round(timed(params), 1)}
-        q8 = quantize_dit_params(params)
-        row["sampler_ms_w8a8"] = round(timed(q8), 1)
-        del q8
-        q4 = quantize_dit_params_int4(params)
-        row["sampler_ms_w4a8"] = round(timed(q4), 1)
-        del q4
+        row = {
+            "shape": f"{NUM_STEPS}x{L}-layer scan, M={M}, {K}x{N}",
+            "scan_ms_bf16": round(timed40(
+                scan40(lambda c, wl: jax.lax.dot_general(
+                    c, wl, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32), wbf), wbf), 1),
+            "scan_ms_w8a8": round(timed40(
+                scan40(lambda c, wl: int8_dot(
+                    c, wl["q8"], wl["s"], out_dtype=jnp.float32), q8),
+                q8), 1),
+            "scan_ms_w4a8_packed": round(timed40(
+                scan40(lambda c, wl: int4_dot(
+                    c, wl["q4"], wl["s"], out_dtype=jnp.float32), q4),
+                q4), 1),
+        }
         results.append(row)
         print(json.dumps(row), flush=True)
 

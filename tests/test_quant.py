@@ -104,7 +104,14 @@ def test_int4_dot_and_dispatch():
     w = jax.random.normal(jax.random.PRNGKey(40), (k, n)) / np.sqrt(k)
     x = jax.random.normal(jax.random.PRNGKey(41), (m, k))
     q = quant.quantize_weight_int4(w)
-    assert q["q4"].dtype == jnp.int4
+    # nibble-packed storage (jnp.int4 is not lowerable on every stack)
+    assert q["q4"].dtype == jnp.int8 and q["q4"].shape == (k // 2, n)
+    # unpack is bit-exact against direct 4-bit quantization
+    wf = np.asarray(w, np.float32)
+    s = np.maximum(np.max(np.abs(wf), axis=0), 1e-12) / 7.0
+    direct = np.clip(np.round(wf / s[None, :]), -7, 7).astype(np.int8)
+    np.testing.assert_array_equal(
+        np.asarray(quant.unpack_weight_int4(q["q4"])), direct)
     ref = np.asarray(x @ w)
     got = np.asarray(quant.int4_dot(x, q["q4"], q["s"],
                                     out_dtype=jnp.float32))
@@ -117,7 +124,7 @@ def test_int4_dot_and_dispatch():
         {"blocks": {"attn": {k2: w for k2 in
                              ("wq", "wk", "wv", "gate", "wo")},
                     "mlp": {k2: w for k2 in ("w1", "w2", "w3")}}})
-    assert qp["blocks"]["mlp"]["w2"]["q4"].dtype == jnp.int4
+    assert qp["blocks"]["mlp"]["w2"]["q4"].dtype == jnp.int8
 
 
 def test_quantize_kv_roundtrip_error_bounded():
