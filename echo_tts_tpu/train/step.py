@@ -41,17 +41,19 @@ def flow_matching_loss(
     batch: dict,
     rng: jax.Array,
     dtype=jnp.bfloat16,
-    remat="full",
+    remat="attn",
 ) -> jnp.ndarray:
     """MSE between predicted and target velocity.
 
-    remat: "full" (default; minimum memory — every layer re-forwards in
-    the backward pass), "dots" (save batch-free matmul outputs — +5%
-    wall at B=2 but OOMs at the single-chip HBM-max batch), "dots_all"
-    (also save the batched attention einsums), "attn" (save each
-    layer's attention OUTPUT: the backward never re-runs attention),
-    or "none" (no remat — save everything; max memory).  The on-chip
-    sweep across these at each policy's HBM-max batch lives in
+    remat: "attn" (default — save each layer's attention OUTPUT so the
+    backward never re-runs attention; wins tokens/s at the single-chip
+    HBM-max batch B=3: 349.3 ms vs full's 354.9), "full" (minimum
+    memory — every layer re-forwards in the backward pass), "dots"
+    (save batch-free matmul outputs) / "dots_all" (also the batched
+    attention einsums — the fastest at B=2, i.e. when dp-sharding makes
+    the per-device batch small, but OOMs at B=3), or "none" (no remat —
+    save everything; OOMs at B=2 full size).  The on-chip sweep across
+    these at each policy's HBM-max batch lives in
     examples/bench_train_step.py --sweep; docs/PERFORMANCE.md §12.
 
     batch = {
@@ -131,14 +133,14 @@ def create_train_state(params: dict, tx: optax.GradientTransformation,
 
 def make_train_step(cfg: EchoDiTConfig, tx: optax.GradientTransformation,
                     mesh: Mesh, dtype=jnp.bfloat16,
-                    ema_decay: float = 0.999, remat: str = "full"):
+                    ema_decay: float = 0.999, remat: str = "attn"):
     """Build the jitted sharded train step.
 
     Parameters and Adam moments carry TP shardings (from create_train_state),
     the batch is data-parallel over the mesh's `data` axis; GSPMD inserts the
     gradient all-reduce over `data` and the per-layer TP collectives over
-    `model`.  `remat` forwards to flow_matching_loss — pick "dots" when
-    the per-device batch is small (docs/PERFORMANCE.md §12).
+    `model`.  `remat` forwards to flow_matching_loss — pick "dots_all"
+    when the per-device batch is small (docs/PERFORMANCE.md §12).
     """
     batch_sh = {
         "latents": NamedSharding(mesh, P(pmesh.DATA_AXIS, None, None)),

@@ -99,7 +99,12 @@ def _measure(cfg, params, b, remat, n=5):
         loss, gsum = grad_step(params, batch, rng)
         np.asarray(loss), np.asarray(gsum)
     except Exception as exc:  # XlaRuntimeError: RESOURCE_EXHAUSTED
-        if "RESOURCE_EXHAUSTED" in str(exc) or "Out of memory" in str(exc):
+        # The axon remote-compile helper rewraps the OOM as
+        # INTERNAL/HTTP 500 with "Ran out of memory ... Exceeded hbm
+        # capacity" in the body, so match case-insensitively.
+        msg = str(exc)
+        if ("RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower()
+                or "Exceeded hbm capacity" in msg):
             return None
         raise
     ts = []
